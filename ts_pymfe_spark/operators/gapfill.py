@@ -1,0 +1,90 @@
+"""Gap-fill: calendar grid + as-of carry-forward + linear interpolation.
+
+Engine addition mandated by the north rule (the reference has no
+irregular time — its series are dense integer-indexed arrays,
+``_internal.py:1334-1364``; SURVEY §2.2 marks as-of joins "absent").
+
+Pattern (all native SQL — no Python, no per-row UDF):
+
+  1. grid: per (conv_id, series), ``sequence(min_bucket, max_bucket,
+     interval)`` exploded -> one row per expected bucket.  This is a
+     per-key range generator: no shuffle beyond the groupBy that
+     computes the span, and the explode is narrow.
+  2. LEFT JOIN observed buckets on (conv_id, series, bucket_start).
+  3. as-of carry-forward: ``last(value, ignoreNulls=True) OVER
+     (... ROWS UNBOUNDED PRECEDING)`` — the classic LOCF as-of join.
+  4. linear interpolation: bracket each missing bucket with the
+     previous/next observed (ts, value) via ignoreNulls last/first
+     windows, then lerp.
+
+Scale: the join key includes bucket_start, so Spark hash-partitions on
+high-cardinality (conv, series, bucket) — no hot key even for Zipf-head
+conversations; AQE coalesces the small side.  Grid explosion is bounded
+by span/interval; a retention-tier engine only gap-fills within each
+tier's retention window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KEY = ["conv_id", "series"]
+
+
+def gapfill(buckets: DataFrame, step_seconds: int, value: str = "v",
+            method: str = "interp") -> DataFrame:
+    """Fill missing buckets of a tier table.
+
+    ``buckets``: (conv_id, series, bucket_start, <value>) — e.g. a tier
+    rollup projected to one statistic.
+    ``method``: 'locf' (carry-forward) | 'interp' (linear between
+    bracketing observations; LOCF after the last).
+
+    Returns (conv_id, series, bucket_start, value, is_gap).
+    """
+    step = F.expr(f"interval {step_seconds} seconds")
+    span = buckets.groupBy(*KEY).agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    grid = span.select(
+        *KEY,
+        F.explode(F.sequence("_lo", "_hi", step)).alias("bucket_start"),
+    )
+    joined = grid.join(
+        buckets.select(*KEY, "bucket_start", F.col(value).alias("_obs")),
+        on=[*KEY, "bucket_start"],
+        how="left",
+    )
+
+    w = Window.partitionBy(*KEY).orderBy("bucket_start")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+
+    prev_v = F.last("_obs", ignorenulls=True).over(w_prev)
+    obs_ts = F.when(F.col("_obs").isNotNull(), F.col("bucket_start"))
+    joined = joined.withColumn("_obs_ts", obs_ts)
+    prev_t = F.last("_obs_ts", ignorenulls=True).over(w_prev)
+    next_v = F.first("_obs", ignorenulls=True).over(w_next)
+    next_t = F.first("_obs_ts", ignorenulls=True).over(w_next)
+
+    if method == "locf":
+        filled = prev_v
+    elif method == "interp":
+        dt_total = F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
+        dt_here = F.unix_timestamp("bucket_start") - F.unix_timestamp(prev_t)
+        lerp = prev_v + (next_v - prev_v) * dt_here / dt_total
+        filled = (
+            F.when(F.col("_obs").isNotNull(), F.col("_obs"))
+            .when(next_t.isNull(), prev_v)          # after last obs: LOCF
+            .otherwise(lerp)
+        )
+    else:
+        raise ValueError(method)
+
+    return joined.select(
+        *KEY,
+        "bucket_start",
+        filled.alias("value"),
+        F.col("_obs").isNull().alias("is_gap"),
+    )

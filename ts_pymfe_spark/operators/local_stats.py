@@ -1,0 +1,160 @@
+"""Local-statistics feature family — rolling + tiled window operators.
+
+Reference: ``/root/reference/tspymfe/local_stats.py`` (22 ``ft_*``
+methods).  The reference computes centered odd-width rolling stats on
+the z-scored series (``_utils.py:36-67`` forces odd window,
+``_utils.py:86-110`` builds ``pd.Series.rolling(w, center=True)``) and
+16 equal non-overlapping tiles (``_utils.py:11-33``).  ``*_shift``
+variants are ``|stat_t − stat_{t−1}|`` (``local_stats.py:176-253``);
+nan edges (incomplete windows) are dropped (``local_stats.py:113-173``).
+
+Spark mapping (all native Window functions — whole-stage codegen, one
+shuffle on conv_id shared by every rolling column):
+
+  rolling stat   -> ``f(value) OVER (PARTITION BY conv_id ORDER BY
+                    turn_idx ROWS BETWEEN k PRECEDING AND k FOLLOWING)``
+  edge semantics -> keep only rows with a full frame
+                    (row_number > k AND row_number <= n−k)
+  tiles          -> ``ntile(16) OVER (... ORDER BY turn_idx)`` then a
+                    groupBy — identical to the tier engine's tumbling
+                    buckets, so at scale tiles ARE the 1m/1h buckets.
+
+Scale notes: a single Window spec serves all rolling stats (Spark
+evaluates them in one pass over each partition); per-conversation
+partitions are bounded by series-length caps for the Arrow kernels,
+and plain Window stats stream — no materialization of the frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER = ["conv_id", "turn_idx"]
+
+
+def _w(order_col: str = "turn_idx"):
+    return Window.partitionBy("conv_id").orderBy(order_col)
+
+
+def zscore(df: DataFrame, value: str = "value", ddof: int = 0,
+           out: str = "value_z") -> DataFrame:
+    """Per-conversation standardization.
+
+    Reference: ``_utils.py:70-83`` (sklearn StandardScaler => population
+    ddof=0; the summaries' ddof=1 is a different call site —
+    ``tsmfe.py:808-810`` — pin per operator)."""
+    w = Window.partitionBy("conv_id")
+    mu = F.avg(value).over(w)
+    sd = F.stddev_pop(value).over(w) if ddof == 0 else F.stddev_samp(value).over(w)
+    return df.withColumn(out, (F.col(value) - mu) / sd)
+
+
+def _frame(k: int):
+    return _w().rowsBetween(-k, k)
+
+
+_ROLLING_STATS = {
+    "moving_avg": lambda v, k: F.avg(v).over(_frame(k)),
+    "moving_var": lambda v, k: F.var_samp(v).over(_frame(k)),
+    "moving_sd": lambda v, k: F.stddev_samp(v).over(_frame(k)),
+    # geometric mean: exp(mean(ln v)) over the frame; NULL if any v<=0
+    # in-frame (scipy gmean semantics, local_stats.py:1162-1210)
+    "moving_gmean": lambda v, k: F.when(
+        F.min(v).over(_frame(k)) > 0,
+        F.exp(F.avg(F.log(v)).over(_frame(k))),
+    ),
+}
+
+
+def _moment_over_frame(v: Column, k: int, which: str) -> Column:
+    """Rolling e1071 method-3 skew/kurt from one-pass moment sums over
+    the frame (reference formulas ``_summary.py:149-273`` applied to
+    each window, ``local_stats.py:671-1028``)."""
+    fr = _frame(k)
+    n = F.count(v).over(fr).cast("double")
+    s1 = F.sum(v).over(fr)
+    s2 = F.sum(v * v).over(fr)
+    s3 = F.sum(v * v * v).over(fr)
+    s4 = F.sum(v * v * v * v).over(fr)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    if which == "skew":
+        m3 = s3 / n - 3 * mu * s2 / n + 2 * mu**3
+        return F.when((n > 1) & (m2 > 0), m3 / F.pow(m2, 1.5) * F.pow((n - 1) / n, 1.5))
+    m4 = s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu**4
+    return F.when((n > 1) & (m2 > 0), m4 / (m2 * m2) * F.pow(1 - 1 / n, 2) - 3)
+
+
+def rolling(df: DataFrame, stat: str, k: int, value: str = "value",
+            shift: bool = False, drop_edges: bool = True,
+            out: str = "stat") -> DataFrame:
+    """Centered rolling statistic of half-width ``k`` (window = 2k+1).
+
+    ``shift=True`` gives the ``*_shift`` variant |stat_t − stat_{t−1}|.
+    ``drop_edges=True`` keeps only full-frame rows (reference nan-edge
+    postprocessor, local_stats.py:113-173)."""
+    v = F.col(value)
+    if stat == "moving_acf":
+        # rolling lag-1 autocorrelation approximation: Pearson corr of
+        # the frame with its lagged copy (exact adjusted-ACF rolling
+        # kernel lives in arrow_kernels; reference local_stats.py:1031)
+        df = df.withColumn("_lag1", F.lag(value, 1).over(_w()))
+        c = F.corr(v, F.col("_lag1")).over(_frame(k))
+    elif stat == "moving_skewness":
+        c = _moment_over_frame(v, k, "skew")
+    elif stat == "moving_kurtosis":
+        c = _moment_over_frame(v, k, "kurt")
+    elif stat in _ROLLING_STATS:
+        c = _ROLLING_STATS[stat](v, k)
+    else:
+        raise ValueError(f"unknown rolling stat: {stat}")
+
+    res = df.withColumn(out, c).drop("_lag1")
+    if drop_edges:
+        w = _w()
+        rn = F.row_number().over(w)
+        cnt = F.count("*").over(Window.partitionBy("conv_id"))
+        res = (
+            res.withColumn("_rn", rn)
+            .withColumn("_n", cnt)
+            .filter((F.col("_rn") > k) & (F.col("_rn") <= F.col("_n") - k))
+            .drop("_rn", "_n")
+        )
+    if shift:
+        res = (
+            res.withColumn(out, F.abs(F.col(out) - F.lag(out, 1).over(_w())))
+            .filter(F.col(out).isNotNull())
+        )
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Tiles: 16 equal non-overlapping chunks (np.array_split, _utils.py:11-33)
+# ---------------------------------------------------------------------------
+
+def with_tile(df: DataFrame, num_tiles: int = 16, out: str = "tile") -> DataFrame:
+    """np.array_split semantics: first (n % k) tiles get ⌈n/k⌉ rows,
+    the rest ⌊n/k⌋ — expressed in closed form from row_number so it is
+    ONE window pass, not an ntile (ntile's remainder rule matches
+    array_split, so use the builtin)."""
+    return df.withColumn(out, F.ntile(num_tiles).over(_w()) - 1)
+
+
+def tiled_stats(df: DataFrame, num_tiles: int = 16, value: str = "value") -> DataFrame:
+    """Per-tile stats powering ft_lumpiness (tile variances,
+    local_stats.py:1624-1681), ft_stability (tile means, :1684-1733),
+    ft_local_extrema (max-|v| value, :1736-1788), ft_local_range (ptp,
+    :1791-1836).  Returns one row per (conv_id, tile)."""
+    v = F.col(value)
+    return (
+        with_tile(df, num_tiles)
+        .groupBy("conv_id", "tile")
+        .agg(
+            F.var_samp(v).alias("tile_var"),
+            F.avg(v).alias("tile_mean"),
+            F.max_by(v, F.abs(v)).alias("tile_extreme"),
+            (F.max(v) - F.min(v)).alias("tile_range"),
+            F.count(v).alias("tile_n"),
+        )
+    )
