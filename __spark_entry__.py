@@ -1,38 +1,934 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator (ts_pymfe_spark/*) on
+the driver's testdata; ``oracle_sql()`` holds the DuckDB-equivalent
+ANSI SQL.  The ``events`` table plays the transcript stream
+(user_id = conversation key, event_id = stable order key, value =
+series); ``documents``/``embeddings`` back the training-data pipeline
+operators.  Floats are rounded identically on both sides so the
+driver's value-hash is stable across summation orders.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_pymfe_spark.functions.moments import stat_columns
+from ts_pymfe_spark.operators import info_theory as IT
+from ts_pymfe_spark.operators import local_stats as LS
+from ts_pymfe_spark.operators import sequence as SQ
+from ts_pymfe_spark.operators import textpipe as TP
+from ts_pymfe_spark.operators.gapfill import gapfill
+from ts_pymfe_spark.operators.rollup import cascade, rollup_raw
+from ts_pymfe_spark.sources.testdata import events_series, read
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+#: DuckDB view of events reshaped to the engine's canonical series
+SERIES_CTE = (
+    "SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id AS turn_idx, ts, "
+    "value FROM events"
+)
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_series(spark, sf_dir)
+
+
+def _series_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _series(spark, sf_dir).withColumn("series", F.lit("value"))
+
+
+def r(col, nd=6):
+    return F.round(col, nd)
+
+
+_REG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        _REG[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Tier rollup / cascade family (operators/rollup.py, functions/moments.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_1m",
+    f"""
+    WITH s AS ({SERIES_CTE})
+    SELECT conv_id, CAST(date_trunc('minute', ts) AS VARCHAR) AS bucket,
+           count(value) AS n, round(sum(value), 6) AS sum_v,
+           round(avg(value), 6) AS avg_v, min(value) AS min_v,
+           max(value) AS max_v
+    FROM s GROUP BY conv_id, date_trunc('minute', ts)
+    """,
+)
+def q_rollup_1m(spark, sf_dir):
+    m = rollup_raw(_series_tagged(spark, sf_dir), "1m")
+    return m.select(
+        "conv_id",
+        F.col("bucket_start").cast("string").alias("bucket"),
+        "n",
+        r(F.col("s1"), 6).alias("sum_v"),
+        r(F.col("s1") / F.col("n")).alias("avg_v"),
+        F.col("mn").alias("min_v"),
+        F.col("mx").alias("max_v"),
+    )
+
+
+@register(
+    "rollup_1h_cascade",
+    f"""
+    WITH s AS ({SERIES_CTE})
+    SELECT conv_id, CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
+           count(value) AS n, round(sum(value), 6) AS sum_v,
+           round(sum(value*value), 6) AS sum_v2,
+           min(value) AS min_v, max(value) AS max_v
+    FROM s GROUP BY conv_id, date_trunc('hour', ts)
+    """,
+)
+def q_rollup_1h_cascade(spark, sf_dir):
+    # proves the moment-merge algebra: Spark goes raw->1m->merge->1h,
+    # the oracle aggregates raw->1h directly
+    h = cascade(rollup_raw(_series_tagged(spark, sf_dir), "1m"), "1h")
+    return h.select(
+        "conv_id",
+        F.col("bucket_start").cast("string").alias("bucket"),
+        "n",
+        r(F.col("s1"), 6).alias("sum_v"),
+        r(F.col("s2"), 6).alias("sum_v2"),
+        F.col("mn").alias("min_v"),
+        F.col("mx").alias("max_v"),
+    )
+
+
+@register(
+    "tier_stats_1d",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    m AS (
+      SELECT conv_id, strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS bucket,
+             count(value) AS n, sum(value) AS s1, sum(value*value) AS s2,
+             sum(value*value*value) AS s3,
+             sum(value*value*value*value) AS s4
+      FROM s GROUP BY 1, 2),
+    c AS (
+      SELECT conv_id, bucket, n, s1/n AS mu,
+             s2/n - (s1/n)*(s1/n) AS m2,
+             s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3) AS m3,
+             s4/n - 4*(s1/n)*(s3/n) + 6*pow(s1/n,2)*(s2/n) - 3*pow(s1/n,4) AS m4,
+             (s2 - s1*s1/n)/(n-1) AS var_s
+      FROM m)
+    SELECT conv_id, bucket, n, round(mu, 6) AS mean_v,
+           round(sqrt(greatest(var_s, 0)), 6) AS sd_v,
+           round(m3/pow(m2,1.5) * pow((n-1.0)/n, 1.5), 5) AS skew_v,
+           round(m4/(m2*m2) * pow(1 - 1.0/n, 2) - 3, 5) AS kurt_v
+    FROM c WHERE n > 1 AND m2 > 0
+    """,
+)
+def q_tier_stats_1d(spark, sf_dir):
+    d = rollup_raw(_series_tagged(spark, sf_dir), "1d").select(
+        "conv_id",
+        F.col("bucket_start").cast("string").alias("bucket"),
+        *stat_columns(),
+    )
+    return d.filter(F.col("skewness").isNotNull()).select(
+        "conv_id",
+        "bucket",
+        F.col("count").alias("n"),
+        r(F.col("mean")).alias("mean_v"),
+        r(F.col("sd")).alias("sd_v"),
+        r(F.col("skewness"), 5).alias("skew_v"),
+        r(F.col("kurtosis"), 5).alias("kurt_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window family (operators/local_stats.py)
+# ---------------------------------------------------------------------------
+
+_EDGE_CTE = f"""
+    WITH s AS ({SERIES_CTE}),
+    w AS (
+      SELECT conv_id, turn_idx, value,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+             count(*) OVER (PARTITION BY conv_id) AS cnt
+      FROM s)
+"""
+
+
+@register(
+    "moving_avg",
+    _EDGE_CTE
+    + """
+    , ma AS (
+      SELECT conv_id, turn_idx, rn, cnt,
+             avg(value) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS v
+      FROM w)
+    SELECT conv_id, turn_idx, round(v, 6) AS ma
+    FROM ma WHERE rn > 2 AND rn <= cnt - 2
+    """,
+)
+def q_moving_avg(spark, sf_dir):
+    return LS.rolling(_series(spark, sf_dir), "moving_avg", 2).select(
+        "conv_id", "turn_idx", r(F.col("stat")).alias("ma")
+    )
+
+
+@register(
+    "moving_sd_shift",
+    _EDGE_CTE
+    + """
+    , sd AS (
+      SELECT conv_id, turn_idx, rn, cnt,
+             stddev_samp(value) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS v
+      FROM w),
+    trimmed AS (
+      SELECT conv_id, turn_idx, v FROM sd WHERE rn > 2 AND rn <= cnt - 2),
+    sh AS (
+      SELECT conv_id, turn_idx,
+             abs(v - lag(v) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS d
+      FROM trimmed)
+    SELECT conv_id, turn_idx, round(d, 6) AS sd_shift
+    FROM sh WHERE d IS NOT NULL
+    """,
+)
+def q_moving_sd_shift(spark, sf_dir):
+    return LS.rolling(_series(spark, sf_dir), "moving_sd", 2, shift=True).select(
+        "conv_id", "turn_idx", r(F.col("stat")).alias("sd_shift")
+    )
+
+
+@register(
+    "tile_stats",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    t AS (
+      SELECT conv_id, value,
+             ntile(16) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS tile
+      FROM s),
+    m AS (
+      SELECT conv_id, tile, count(*) AS n, sum(value) AS s1,
+             sum(value*value) AS s2, min(value) AS mn, max(value) AS mx
+      FROM t GROUP BY conv_id, tile)
+    SELECT conv_id, tile,
+           round((s2 - s1*s1/n) / (n - 1), 7) AS tile_var,
+           round(s1 / n, 6) AS tile_mean,
+           round(mx - mn, 6) AS tile_range,
+           n AS tile_n
+    FROM m
+    """,
+)
+def q_tile_stats(spark, sf_dir):
+    # explicit moment algebra (not builtin var_samp) so Spark and DuckDB
+    # evaluate the identical expression — cross-engine var_samp internals
+    # differ by ~1e-7, which collides with any rounding grid
+    t = LS.with_tile(_series(spark, sf_dir), 16)
+    v = F.col("value")
+    m = t.groupBy("conv_id", "tile").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+    return m.select(
+        "conv_id",
+        "tile",
+        r(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1),
+            7,
+        ).alias("tile_var"),
+        r(F.col("s1") / F.col("n")).alias("tile_mean"),
+        r(F.col("mx") - F.col("mn")).alias("tile_range"),
+        F.col("n").alias("tile_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence family (operators/sequence.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "diff2_stats",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    d AS (
+      SELECT conv_id,
+             value - 2*lag(value,1) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   + lag(value,2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS d
+      FROM s)
+    SELECT conv_id, count(d) AS n_diff, round(avg(d), 6) AS mean_diff,
+           round(stddev_samp(d), 6) AS sd_diff
+    FROM d WHERE d IS NOT NULL GROUP BY conv_id
+    """,
+)
+def q_diff2_stats(spark, sf_dir):
+    return (
+        SQ.with_diff(_series(spark, sf_dir), order=2)
+        .groupBy("conv_id")
+        .agg(
+            F.count("diff").alias("n_diff"),
+            r(F.avg("diff")).alias("mean_diff"),
+            r(F.stddev_samp("diff")).alias("sd_diff"),
+        )
+    )
+
+
+@register(
+    "sdiff_stats",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    d AS (
+      SELECT conv_id,
+             value - lag(value,7) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS d
+      FROM s)
+    SELECT conv_id, round(avg(d), 6) AS mean_sdiff,
+           round(stddev_samp(d), 6) AS sd_sdiff
+    FROM d WHERE d IS NOT NULL GROUP BY conv_id
+    """,
+)
+def q_sdiff_stats(spark, sf_dir):
+    return (
+        SQ.with_diff(_series(spark, sf_dir), order=1, lag=7)
+        .groupBy("conv_id")
+        .agg(
+            r(F.avg("diff")).alias("mean_sdiff"),
+            r(F.stddev_samp("diff")).alias("sd_sdiff"),
+        )
+    )
+
+
+@register(
+    "trev",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    d AS (
+      SELECT conv_id,
+             value - lag(value,1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS d
+      FROM s)
+    SELECT conv_id,
+           round(avg(d*d*d) / pow(avg(d*d), 1.5), 6) AS trev
+    FROM d WHERE d IS NOT NULL GROUP BY conv_id
+    """,
+)
+def q_trev(spark, sf_dir):
+    return SQ.trev(_series(spark, sf_dir), lag=1).select(
+        "conv_id", r(F.col("trev")).alias("trev")
+    )
+
+
+@register(
+    "tc3",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    d AS (
+      SELECT conv_id,
+             value AS x,
+             lead(value,1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS x1,
+             lead(value,2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS x2
+      FROM s)
+    SELECT conv_id,
+           round(avg(x*x1*x2) / pow(abs(avg(x*x1)), 1.5), 6) AS tc3
+    FROM d WHERE x2 IS NOT NULL GROUP BY conv_id
+    """,
+)
+def q_tc3(spark, sf_dir):
+    return SQ.tc3(_series(spark, sf_dir), lag=1).select(
+        "conv_id", r(F.col("tc3")).alias("tc3")
+    )
+
+
+@register(
+    "gen_autocorr",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    d AS (
+      SELECT conv_id, abs(value) AS xa,
+             abs(lead(value,1) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS xb
+      FROM s)
+    SELECT conv_id,
+           round(avg(xa*xb) - (avg(xa)*avg(xb)) /
+                 (sqrt(avg(xa*xa) - avg(xa)*avg(xa)) *
+                  sqrt(avg(xb*xb) - avg(xb)*avg(xb))), 4) AS gen_autocorr
+    FROM d WHERE xb IS NOT NULL GROUP BY conv_id
+    """,
+)
+def q_gen_autocorr(spark, sf_dir):
+    return SQ.gen_autocorr(_series(spark, sf_dir), lag=1).select(
+        "conv_id", r(F.col("gen_autocorr"), 4).alias("gen_autocorr")
+    )
+
+
+@register(
+    "acf_lags",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    m AS (
+      SELECT conv_id, avg(value) AS mu, var_pop(value) AS c0,
+             count(*) AS n
+      FROM s GROUP BY conv_id),
+    l AS (
+      SELECT s.conv_id, s.value, m.mu, m.c0, m.n,
+             lag(s.value,1) OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) AS x1,
+             lag(s.value,2) OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) AS x2,
+             lag(s.value,3) OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) AS x3
+      FROM s JOIN m USING (conv_id))
+    SELECT conv_id, lag, round(acf, 6) AS acf FROM (
+      SELECT conv_id, 1 AS lag,
+             sum((value-mu)*(x1-mu))/(any_value(n)-1)/any_value(c0) AS acf
+      FROM l WHERE x1 IS NOT NULL GROUP BY conv_id
+      UNION ALL
+      SELECT conv_id, 2,
+             sum((value-mu)*(x2-mu))/(any_value(n)-2)/any_value(c0)
+      FROM l WHERE x2 IS NOT NULL GROUP BY conv_id
+      UNION ALL
+      SELECT conv_id, 3,
+             sum((value-mu)*(x3-mu))/(any_value(n)-3)/any_value(c0)
+      FROM l WHERE x3 IS NOT NULL GROUP BY conv_id)
+    """,
+)
+def q_acf_lags(spark, sf_dir):
+    return SQ.acf_at_lags(_series(spark, sf_dir), 3).select(
+        "conv_id", "lag", r(F.col("acf")).alias("acf")
+    )
+
+
+@register(
+    "frac_cp",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    m AS (SELECT conv_id, median(value) AS med FROM s GROUP BY conv_id),
+    b AS (
+      SELECT s.conv_id,
+             CAST(s.value <= m.med AS INT) AS below,
+             lag(CAST(s.value <= m.med AS INT))
+               OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) AS prev
+      FROM s JOIN m USING (conv_id))
+    SELECT conv_id,
+           round(sum(CASE WHEN below != prev THEN 1 ELSE 0 END) * 1.0
+                 / (count(*) - 1), 6) AS frac_cp
+    FROM b GROUP BY conv_id
+    """,
+)
+def q_frac_cp(spark, sf_dir):
+    return SQ.frac_cp(_series(spark, sf_dir)).select(
+        "conv_id", r(F.col("frac_cp")).alias("frac_cp")
+    )
+
+
+@register(
+    "t_mean",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    rk AS (
+      SELECT conv_id, value,
+             row_number() OVER (PARTITION BY conv_id ORDER BY value, turn_idx) AS rnk,
+             count(*) OVER (PARTITION BY conv_id) AS n
+      FROM s)
+    SELECT conv_id, round(avg(value), 6) AS t_mean
+    FROM rk
+    WHERE rnk > floor(n * 0.02) AND rnk <= n - floor(n * 0.02)
+    GROUP BY conv_id
+    """,
+)
+def q_t_mean(spark, sf_dir):
+    return SQ.t_mean(_series(spark, sf_dir), 0.02).select(
+        "conv_id", r(F.col("t_mean")).alias("t_mean")
+    )
+
+
+@register(
+    "turning_points",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    t AS (
+      SELECT conv_id, value,
+             lag(value) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS p,
+             lead(value) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nx
+      FROM s)
+    SELECT conv_id,
+           sum(CASE WHEN (value - p) * (nx - value) < 0 THEN 1 ELSE 0 END) AS n_tp,
+           round(avg(CASE WHEN (value - p) * (nx - value) < 0 THEN 1.0 ELSE 0.0 END), 6)
+             AS tp_frac
+    FROM t WHERE p IS NOT NULL AND nx IS NOT NULL
+    GROUP BY conv_id
+    """,
+)
+def q_turning_points(spark, sf_dir):
+    return (
+        SQ.turning_points(_series(spark, sf_dir))
+        .groupBy("conv_id")
+        .agg(
+            F.sum("turning_point").alias("n_tp"),
+            r(F.avg("turning_point")).alias("tp_frac"),
+        )
+    )
+
+
+@register(
+    "step_changes",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    t AS (
+      SELECT conv_id, value,
+             avg(value) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mu,
+             stddev_samp(value) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sd
+      FROM s)
+    SELECT conv_id,
+           sum(CASE WHEN abs(value - mu) > 2 * sd THEN 1 ELSE 0 END) AS n_sc
+    FROM t WHERE sd IS NOT NULL GROUP BY conv_id
+    """,
+)
+def q_step_changes(spark, sf_dir):
+    return (
+        SQ.step_changes(_series(spark, sf_dir))
+        .groupBy("conv_id")
+        .agg(F.sum("step_change").alias("n_sc"))
+    )
+
+
+@register(
+    "fs_len_stats",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    mm AS (
+      SELECT conv_id, min(value) AS mn, max(value) AS mx FROM s GROUP BY conv_id),
+    lv AS (
+      SELECT s.conv_id, s.turn_idx,
+             CAST(least(floor((s.value - mm.mn) / ((mm.mx - mm.mn) / 10)), 9) AS INT) AS lvl
+      FROM s JOIN mm USING (conv_id)),
+    ch AS (
+      SELECT conv_id, turn_idx, lvl,
+             CASE WHEN lag(lvl) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL
+                    OR lvl != lag(lvl) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                  THEN 1 ELSE 0 END AS chg
+      FROM lv),
+    rn AS (
+      SELECT conv_id, lvl,
+             sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM ch),
+    runs AS (
+      SELECT conv_id, run_id, count(*) AS run_len FROM rn GROUP BY conv_id, run_id)
+    SELECT conv_id, count(*) AS n_runs, max(run_len) AS max_run,
+           round(avg(run_len), 6) AS avg_run
+    FROM runs GROUP BY conv_id
+    """,
+)
+def q_fs_len_stats(spark, sf_dir):
+    return (
+        SQ.fs_len(_series(spark, sf_dir), 10)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.max("run_len").alias("max_run"),
+            r(F.avg("run_len")).alias("avg_run"),
+        )
+    )
+
+
+@register(
+    "bin_frac",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    m AS (SELECT conv_id, avg(value) AS mu FROM s GROUP BY conv_id)
+    SELECT s.conv_id,
+           round(avg(CASE WHEN s.value >= m.mu THEN 1.0 ELSE 0.0 END), 6) AS bin_frac
+    FROM s JOIN m USING (conv_id) GROUP BY s.conv_id
+    """,
+)
+def q_bin_frac(spark, sf_dir):
+    df = _series(spark, sf_dir).withColumn("b", SQ.bin_mean_col())
+    return df.groupBy("conv_id").agg(r(F.avg("b")).alias("bin_frac"))
+
+
+# ---------------------------------------------------------------------------
+# Info-theory family (operators/info_theory.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hist_entropy",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    mm AS (SELECT conv_id, min(value) AS mn, max(value) AS mx FROM s GROUP BY conv_id),
+    b AS (
+      SELECT s.conv_id,
+             CAST(least(floor((s.value - mm.mn) / ((mm.mx - mm.mn) / 10)), 9) AS INT) AS bin
+      FROM s JOIN mm USING (conv_id)),
+    c AS (SELECT conv_id, bin, count(*) AS c FROM b GROUP BY conv_id, bin),
+    p AS (
+      SELECT conv_id, c * 1.0 / sum(c) OVER (PARTITION BY conv_id) AS p FROM c)
+    SELECT conv_id, round(-sum(p * ln(p)) / ln(10.0), 6) AS hist_entropy
+    FROM p GROUP BY conv_id
+    """,
+)
+def q_hist_entropy(spark, sf_dir):
+    return IT.hist_entropy(_series(spark, sf_dir), 10).select(
+        "conv_id", r(F.col("hist_entropy")).alias("hist_entropy")
+    )
+
+
+@register(
+    "ami_lag1",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    lg AS (
+      SELECT conv_id, value AS x,
+             lag(value,1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS y
+      FROM s),
+    al AS (SELECT conv_id, x, y FROM lg WHERE y IS NOT NULL),
+    mm AS (
+      SELECT conv_id, min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+      FROM al GROUP BY conv_id),
+    bb AS (
+      SELECT al.conv_id,
+             CAST(least(floor((al.x - mm.mnx) / ((mm.mxx - mm.mnx) / 8)), 7) AS INT) AS bx,
+             CAST(least(floor((al.y - mm.mny) / ((mm.mxy - mm.mny) / 8)), 7) AS INT) AS by
+      FROM al JOIN mm USING (conv_id)),
+    joint AS (
+      SELECT conv_id, bx, by,
+             count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY conv_id) AS p
+      FROM bb GROUP BY conv_id, bx, by),
+    hx AS (
+      SELECT conv_id, -sum(px * ln(px)) AS hx FROM (
+        SELECT conv_id, bx, sum(p) AS px FROM joint GROUP BY conv_id, bx)
+      GROUP BY conv_id),
+    hy AS (
+      SELECT conv_id, -sum(py * ln(py)) AS hy FROM (
+        SELECT conv_id, by, sum(p) AS py FROM joint GROUP BY conv_id, by)
+      GROUP BY conv_id),
+    hxy AS (
+      SELECT conv_id, -sum(p * ln(p)) AS hxy FROM joint GROUP BY conv_id)
+    SELECT hx.conv_id, round(hx.hx + hy.hy - hxy.hxy, 6) AS ami
+    FROM hx JOIN hy USING (conv_id) JOIN hxy USING (conv_id)
+    """,
+)
+def q_ami_lag1(spark, sf_dir):
+    return IT.ami_histogram(_series(spark, sf_dir), lag=1, num_bins=8).select(
+        "conv_id", r(F.col("ami")).alias("ami")
+    )
+
+
+@register(
+    "dw_stat",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    d AS (
+      SELECT conv_id, value,
+             value - lag(value,1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS d
+      FROM s)
+    SELECT conv_id, round(sum(d*d) / sum(value*value) / 4.0, 6) AS dw
+    FROM d GROUP BY conv_id
+    """,
+)
+def q_dw_stat(spark, sf_dir):
+    return IT.dw_stat(_series(spark, sf_dir)).select(
+        "conv_id", r(F.col("dw")).alias("dw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill (operators/gapfill.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "gapfill_1m",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    b AS (
+      SELECT conv_id, date_trunc('minute', ts) AS bucket_start,
+             sum(value) AS v
+      FROM s GROUP BY 1, 2),
+    span AS (
+      SELECT conv_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+      FROM b GROUP BY conv_id),
+    grid AS (
+      SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket_start
+      FROM span),
+    j AS (
+      SELECT grid.conv_id, grid.bucket_start, b.v AS obs,
+             CASE WHEN b.v IS NOT NULL THEN grid.bucket_start END AS obs_ts
+      FROM grid LEFT JOIN b USING (conv_id, bucket_start)),
+    f AS (
+      SELECT conv_id, bucket_start, obs,
+             last_value(obs IGNORE NULLS) OVER
+               (PARTITION BY conv_id ORDER BY bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(obs_ts IGNORE NULLS) OVER
+               (PARTITION BY conv_id ORDER BY bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(obs IGNORE NULLS) OVER
+               (PARTITION BY conv_id ORDER BY bucket_start
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(obs_ts IGNORE NULLS) OVER
+               (PARTITION BY conv_id ORDER BY bucket_start
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j),
+    filled AS (
+      SELECT conv_id, bucket_start,
+             CASE WHEN obs IS NOT NULL THEN obs
+                  WHEN nt IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (epoch(bucket_start) - epoch(pt))
+                            / (epoch(nt) - epoch(pt)) END AS value,
+             obs IS NULL AS is_gap
+      FROM f)
+    SELECT conv_id, count(*) AS n_buckets,
+           sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS n_gaps,
+           round(sum(value), 3) AS total
+    FROM filled GROUP BY conv_id
+    """,
+)
+def q_gapfill_1m(spark, sf_dir):
+    b = (
+        _series(spark, sf_dir)
+        .groupBy(
+            "conv_id", F.date_trunc("minute", "ts").alias("bucket_start")
+        )
+        .agg(F.sum("value").alias("v"))
+        .withColumn("series", F.lit("value"))
+    )
+    g = gapfill(b, 60, "v", method="interp")
+    return g.groupBy("conv_id").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.col("is_gap").cast("long")).alias("n_gaps"),
+        r(F.sum("value"), 3).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: documents (operators/textpipe.py)
+# ---------------------------------------------------------------------------
+
+_DOC_TOKENS = (
+    "SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+    "x -> x != '') AS tokens, text FROM documents"
+)
+
+
+@register(
+    "token_stats",
+    f"""
+    WITH t AS ({_DOC_TOKENS})
+    SELECT doc_id, len(tokens) AS n_tokens,
+           round(list_aggregate(list_transform(tokens, x -> length(x)), 'sum')
+                 * 1.0 / len(tokens), 6) AS avg_token_len
+    FROM t
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    t = TP.token_stats(read(spark, sf_dir, "documents"))
+    return t.select("doc_id", "n_tokens", r(F.col("avg_token_len")).alias("avg_token_len"))
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH t AS ({_DOC_TOKENS})
+    SELECT doc_id, length(text) AS n_chars_computed, len(tokens) AS n_tokens,
+           round(len(list_filter(tokens, x -> list_contains(
+             ['the','a','of','and','to','in','is','it'], x))) * 1.0
+             / len(tokens), 6) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+             / length(text), 6) AS alpha_ratio
+    FROM t
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    q = TP.quality_score(read(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        "n_chars_computed",
+        "n_tokens",
+        r(F.col("stopword_ratio")).alias("stopword_ratio"),
+        r(F.col("alpha_ratio")).alias("alpha_ratio"),
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH t AS ({_DOC_TOKENS})
+    SELECT doc_id,
+           CASE WHEN len(list_filter(tokens, x -> list_contains(
+             ['the','a','of','and','to','in','is','it'], x))) * 1.0
+             / len(tokens) >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+    FROM t
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    return TP.lang_id(read(spark, sf_dir, "documents"))
+
+
+@register(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    return TP.exact_dedup(read(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH t AS ({_DOC_TOKENS}),
+    sh AS (
+      SELECT doc_id,
+             concat_ws(' ', tokens[g], tokens[g+1], tokens[g+2]) AS shingle
+      FROM t, unnest(generate_series(1, len(tokens) - 2)) AS u(g)
+      WHERE len(tokens) >= 3)
+    SELECT doc_id, min(md5(shingle)) AS fingerprint
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return TP.doc_fingerprint(read(spark, sf_dir, "documents"), 3)
+
+
+@register(
+    "jaccard_pairs",
+    f"""
+    WITH t AS ({_DOC_TOKENS}),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', tokens[g], tokens[g+1], tokens[g+2]) AS shingle
+      FROM t, unnest(generate_series(1, len(tokens) - 2)) AS u(g)
+      WHERE len(tokens) >= 3),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.3
+    """,
+)
+def q_jaccard_pairs(spark, sf_dir):
+    p = TP.jaccard_pairs(read(spark, sf_dir, "documents"), 3, 0.3)
+    return p.select("doc_a", "doc_b", r(F.col("jaccard")).alias("jaccard"))
+
+
+# rows-only (no practical ANSI-SQL oracle): LSH candidate generation is
+# seeded/banded; the exact-jaccard query above is its verification pair.
+@register("minhash_lsh_candidates", None)
+def q_minhash_lsh(spark, sf_dir):
+    return TP.minhash_lsh_candidates(read(spark, sf_dir, "documents"))
+
+
+@register("simhash", None)
+def q_simhash(spark, sf_dir):
+    return TP.simhash64(read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id < 5),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))) AS cos
+      FROM q CROSS JOIN c),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_ann_topk(spark, sf_dir):
+    emb = read(spark, sf_dir, "embeddings")
+    out = TP.cosine_topk(
+        emb.filter("vec_id >= 5"), emb.filter("vec_id < 5"), k=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", r(F.col("cos")).alias("cos")
+    )
+
+
+@register("ann_lsh", None)  # approximate, seeded — rows-only check
+def q_ann_lsh(spark, sf_dir):
+    emb = read(spark, sf_dir, "embeddings")
+    return TP.lsh_bucketed_topk(
+        emb.filter("vec_id >= 5"), emb.filter("vec_id < 5"), k=3
+    )
+
+
+@register(
+    "emb_label_stats",
+    """
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_emb_label_stats(spark, sf_dir):
+    emb = TP.with_norm(read(spark, sf_dir, "embeddings"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"), r(F.avg("_norm")).alias("avg_norm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver API
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full tier cascade over the sf0.001 event stream,
+    returning the 1h continuous-aggregate feature table."""
+    from ts_pymfe_spark.operators.rollup import build_all_tiers
+
+    sf_dir = "/root/testdata/sf0.001"
+    tiers = build_all_tiers(_series_tagged(spark, sf_dir), salted=True)
+    return tiers["1h"].select(
+        "conv_id", "series", "bucket_start", *stat_columns()
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REG.items() if sql is not None}

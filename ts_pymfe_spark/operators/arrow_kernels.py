@@ -1,0 +1,156 @@
+"""Per-series Arrow kernels: ``groupBy(conv_id).applyInPandas`` over the
+pure-numpy kernel library (functions/kernels.py).
+
+This is the bit-match oracle path (SURVEY §2.12): whole-series
+computations SQL cannot express (FFT ACF/spectrum, O(n²) entropies,
+sequential recurrences) run vectorized per series inside Arrow workers.
+The same kernel functions generate the golden fixtures, so engine
+output equals fixtures by construction — the float-summation-order
+hazard (SURVEY §4.3) is closed by sorting each group by
+``(turn_idx)`` before compute.
+
+Scale design:
+  - groups are (conv_id[, series]) — the natural parallelism axis; a
+    1000-executor cluster processes ~10^6 series concurrently.
+  - ``max_points`` caps quadratic kernels (reference analogue: the
+    512-point truncation in its tests, test_a.py:27, and
+    ``lm_sample_frac``) — documented engine config, keeps worst-case
+    per-task time bounded regardless of Zipf skew.
+  - output is a long feature table (conv_id, series, feature, idx,
+    value): adding features changes rows, not schema.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ts_pymfe_spark.functions import kernels as K
+
+FEATURE_SCHEMA = (
+    "conv_id string, series string, feature string, idx int, value double"
+)
+
+#: feature name -> callable(x: np.ndarray) -> float | np.ndarray
+#: (reference ft_* counterpart cited in each kernel's docstring)
+FEATURE_KERNELS: dict[str, Callable[[np.ndarray], float | np.ndarray]] = {
+    "acf": lambda x: K.acf(x, nlags=min(16, x.size - 2)),
+    "pacf": lambda x: K.pacf_ols(x, nlags=max(1, 1 + x.size // 10)),
+    "period": lambda x: float(K.ts_period(x)),
+    "acf_first_nonsig": lambda x: K.first_acf_nonsig(
+        K.acf(x, nlags=min(64, x.size - 2)), x.size
+    ),
+    "acf_first_nonpos": lambda x: K.first_acf_nonpos(
+        K.acf(x, nlags=min(64, x.size - 2))
+    ),
+    "acf_first_locmin": lambda x: K.first_local_min(
+        K.acf(x, nlags=min(64, x.size - 2))
+    ),
+    "ps_entropy": lambda x: K.ps_entropy(K.periodogram_hamming(x)[1]),
+    "ps_freqs": lambda x: K.ps_freqs_topk(K.periodogram_hamming(x)[1]),
+    "ps_peaks": lambda x: K.ps_peaks(K.periodogram_hamming(x)[1]),
+    "low_freq_power": K.low_freq_power,
+    "hist_entropy": K.hist_entropy,
+    "ami": lambda x: K.ami(x, lags=[1, 2, 3, 4]),
+    "ami_first_critpt": lambda x: K.first_local_min(
+        K.ami(x, lags=list(range(1, min(17, x.size // 2))))
+    ),
+    "approx_entropy": K.approx_entropy,
+    "sample_entropy": K.sample_entropy,
+    "control_entropy": lambda x: K.sample_entropy(np.diff(x)),
+    "lz_complexity": K.lz_complexity,
+    "hurst": K.hurst_rs,
+    "dfa": K.dfa,
+    "lb_pvalues": lambda x: K.ljung_box(x, max_lags=min(16, x.size - 3))[1],
+    "dw": lambda x: K.durbin_watson(x) / 4.0,
+    "trend_strength": lambda x: _strength(x, "trend"),
+    "season_strength": lambda x: _strength(x, "season"),
+    "walker_cross_frac": lambda x: _walker_cross_frac(x),
+    "moving_threshold_mean": lambda x: float(
+        np.mean(K.moving_threshold(_zscore(x)))
+    ),
+}
+
+
+def _zscore(x: np.ndarray) -> np.ndarray:
+    sd = x.std(ddof=0)
+    return (x - x.mean()) / sd if sd > 0 else x - x.mean()
+
+
+def _strength(x: np.ndarray, which: str) -> float:
+    """ft_trend_strenght / ft_season_strenght (``global_stats.py:119-207``):
+    1 − var(resid)/var(deseasonalized|detrended), clamped to [0,1]."""
+    trend, season, resid = K.decompose(x)
+    base = x - season if which == "trend" else x - trend
+    vb = base.var(ddof=1)
+    if not np.isfinite(vb) or vb == 0:
+        return np.nan
+    return float(min(1.0, max(0.0, 1.0 - resid.var(ddof=1) / vb)))
+
+
+def _walker_cross_frac(x: np.ndarray) -> float:
+    """ft_walker_cross_frac (``general.py:1069-1148``): fraction of
+    steps where the walker path crosses the series."""
+    w = K.walker_path(x)
+    side = w >= x
+    return float(np.mean(side[1:] != side[:-1]))
+
+
+def series_features(
+    df: DataFrame,
+    features: Iterable[str] | None = None,
+    max_points: int = 4096,
+    order_col: str = "turn_idx",
+    value_col: str = "value",
+) -> DataFrame:
+    """Long feature table over per-series Arrow kernels.
+
+    Input: (conv_id[, series], turn_idx, value).  Output rows
+    (conv_id, series, feature, idx, value); scalar features have
+    idx=0; array features one row per element.
+
+    ``max_points``: quadratic-kernel cap — each group is truncated to
+    its most-recent ``max_points`` observations after sorting (the
+    reference's tail-truncation semantics, test_a.py:27)."""
+    names = list(features) if features is not None else list(FEATURE_KERNELS)
+    unknown = set(names) - set(FEATURE_KERNELS)
+    if unknown:
+        raise ValueError(f"unknown features: {sorted(unknown)}")
+    has_series = "series" in df.columns
+    keys = ["conv_id", "series"] if has_series else ["conv_id"]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        if len(pdf) > max_points:
+            pdf = pdf.iloc[-max_points:]
+        x = pdf[value_col].to_numpy(dtype=float)
+        conv = pdf["conv_id"].iloc[0]
+        ser = pdf["series"].iloc[0] if has_series else value_col
+        out_feat: list[str] = []
+        out_idx: list[int] = []
+        out_val: list[float] = []
+        for name in names:
+            try:
+                res = FEATURE_KERNELS[name](x)
+            except Exception:
+                res = np.nan  # error containment: nan, never fail the job
+                # (reference behavior: _internal.py:594-614)
+            arr = np.atleast_1d(np.asarray(res, dtype=float))
+            out_feat.extend([name] * arr.size)
+            out_idx.extend(range(arr.size))
+            out_val.extend(arr.tolist())
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "series": ser,
+                "feature": out_feat,
+                "idx": out_idx,
+                "value": out_val,
+            }
+        )
+
+    return df.groupBy(*keys).applyInPandas(kernel, FEATURE_SCHEMA)

