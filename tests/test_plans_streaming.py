@@ -1,0 +1,81 @@
+"""Checkpoint/resume manifest + Structured Streaming tier maintenance."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ts_pymfe_spark.operators.derive import derive_series
+from ts_pymfe_spark.operators.rollup import KEY, rollup_raw
+from ts_pymfe_spark.plans.manifest import CheckpointedWriter
+
+
+def test_checkpointed_writer_resume(spark, turns, tmp_path):
+    root = str(tmp_path / "features_1h")
+    tier = rollup_raw(derive_series(turns), "1h")
+
+    w1 = CheckpointedWriter(spark, root, run_id="run1")
+    committed = w1.run(tier, "bucket_start", "day")
+    assert len(committed) > 1
+    assert all(e["rows"] > 0 and e["bytes"] > 0 for e in committed)
+
+    # resume: nothing pending
+    w2 = CheckpointedWriter(spark, root, run_id="run2")
+    assert w2.run(tier, "bucket_start", "day") == []
+
+    # simulate a crash: drop one partition's manifest entry + data
+    victim = committed[0]["partition"]
+    shutil.rmtree(f"{root}/part={victim}")
+    import os
+
+    for f in os.listdir(f"{root}/_manifest"):
+        if f.startswith(victim):
+            os.remove(f"{root}/_manifest/{f}")
+    w3 = CheckpointedWriter(spark, root, run_id="run3")
+    redone = w3.run(tier, "bucket_start", "day")
+    assert [e["partition"] for e in redone] == [victim]
+
+    # read-back equals the source tier
+    got = w3.read().orderBy(*KEY).toPandas()
+    exp = tier.orderBy(*KEY).toPandas()
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["n"].to_numpy(), exp["n"].to_numpy())
+
+    # lineage metrics table
+    m = w3.metrics().toPandas()
+    assert {"run_id", "partition", "rows", "bytes", "wall_ms"} <= set(m.columns)
+
+
+def test_streaming_rollup_matches_batch(spark, turns, tmp_path):
+    from ts_pymfe_spark.streaming.rollup_stream import (
+        read_tier,
+        run_stream_to_store,
+    )
+
+    in_dir = str(tmp_path / "turns_in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    # write input as several files so the stream sees multiple batches
+    turns.repartition(6).write.mode("overwrite").parquet(in_dir)
+
+    run_stream_to_store(spark, in_dir, store, ckpt)
+
+    got = read_tier(spark, store, "1h").orderBy(*KEY).toPandas()
+    exp = (
+        rollup_raw(derive_series(spark.read.parquet(in_dir)), "1h")
+        .orderBy(*KEY)
+        .toPandas()
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["n"].to_numpy(), exp["n"].to_numpy())
+    np.testing.assert_allclose(
+        got["s1"].to_numpy(), exp["s1"].to_numpy(), rtol=1e-12
+    )
+    np.testing.assert_array_equal(got["mn"].to_numpy(), exp["mn"].to_numpy())
+    np.testing.assert_array_equal(
+        got["first_v"].to_numpy(), exp["first_v"].to_numpy()
+    )

@@ -96,18 +96,30 @@ def turn_rate_series(tier_df: DataFrame, base_series: str = "text_len") -> DataF
 
 
 def build_all_tiers(series_df: DataFrame, salted: bool = True,
-                    include_turn_rate: bool = True) -> dict[str, DataFrame]:
+                    include_turn_rate: bool = True,
+                    persist: bool = False) -> dict[str, DataFrame]:
     """The full cascade.  Returns {tier: moments DataFrame}.
 
-    Each returned frame should be persisted / written to its Iceberg
-    table by the caller (plans/manifest.py) — the cascade expresses
-    lineage, the caller owns materialization."""
+    ``persist=True`` caches the 1m tier (it is consumed twice: by the
+    emergent turn-rate rollup and by the 1h cascade) and the 1h tier
+    (consumed by 1d) — the reference's precompute-cache idea
+    (``_internal.py:1158-1331``) applied to tiers.  Callers that write
+    each tier to storage (plans/manifest.py) should leave this False
+    and rely on the written table instead."""
+    from pyspark import StorageLevel
+
     tiers: dict[str, DataFrame] = {}
     t1m = rollup_raw(series_df, "1m", salted=salted)
     if include_turn_rate:
+        if persist:
+            t1m = t1m.persist(StorageLevel.MEMORY_AND_DISK)
         rate = rollup_raw(turn_rate_series(t1m), "1m", salted=False)
         t1m = t1m.unionByName(rate)
     tiers["1m"] = t1m
+    if persist:
+        tiers["1m"] = tiers["1m"].persist(StorageLevel.MEMORY_AND_DISK)
     tiers["1h"] = cascade(tiers["1m"], "1h")
+    if persist:
+        tiers["1h"] = tiers["1h"].persist(StorageLevel.MEMORY_AND_DISK)
     tiers["1d"] = cascade(tiers["1h"], "1d")
     return tiers

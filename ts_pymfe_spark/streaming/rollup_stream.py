@@ -1,0 +1,111 @@
+"""Structured Streaming tier maintenance: continuous aggregates kept
+fresh as transcript turns arrive.
+
+Design: **stateless partial vectors + merge-on-read** — each microbatch
+computes plain per-(conv, series, bucket) moment vectors for JUST its
+rows (no streaming state, no watermark-dropped late data) and appends
+them as partials; reading a tier finishes the merge with the same
+associative ``moment_merge_aggs`` the batch cascade uses.  Late or
+out-of-order turns simply add another partial to their bucket — exact
+regardless of arrival order, the same property that makes the batch
+cascade salt-safe.
+
+A watermarked windowed variant (``streaming_rollup_1m_watermarked``) is
+also provided for bounded-state pipelines where late data past the
+horizon may be dropped by contract.
+
+At production scale the source is Kafka/Iceberg CDC and the partial
+store is an Iceberg table compacted periodically (merge partials into
+one row per bucket — same aggregation, run as maintenance); here a file
+source with ``availableNow`` triggers serves tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_pymfe_spark.functions.moments import moment_aggs, moment_merge_aggs
+from ts_pymfe_spark.operators.derive import derive_series
+from ts_pymfe_spark.operators.rollup import KEY, TIERS
+from ts_pymfe_spark.synth import TURNS_SCHEMA
+
+
+def stream_turns(spark: SparkSession, input_dir: str,
+                 max_files_per_trigger: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def streaming_rollup_1m_watermarked(turns_stream: DataFrame,
+                                    watermark: str = "10 minutes") -> DataFrame:
+    """Stateful windowed variant: bounded state via watermark; late data
+    beyond the horizon is dropped (append-mode contract)."""
+    series = derive_series(turns_stream).withWatermark("ts", watermark)
+    return (
+        series.groupBy("conv_id", "series", F.window("ts", "1 minute"))
+        .agg(*moment_aggs("value", "ts"))
+        .withColumn("bucket_start", F.col("window.start"))
+        .drop("window")
+    )
+
+
+def run_stream_to_store(spark: SparkSession, input_dir: str, store_dir: str,
+                        checkpoint_dir: str) -> None:
+    """availableNow streaming job: per-batch partial moment vectors
+    appended per tier; exactly-once batch tracking via the streaming
+    checkpoint (a replayed batch overwrites its own deterministic
+    subdirectory, keeping appends idempotent)."""
+
+    def merge_batch(batch_turns: DataFrame, batch_id: int) -> None:
+        series = derive_series(batch_turns)
+        t1m = (
+            series.select(
+                "conv_id", "series", "ts", "value",
+                F.date_trunc(TIERS["1m"], "ts").alias("bucket_start"),
+            )
+            .groupBy(*KEY)
+            .agg(*moment_aggs("value", "ts"))
+        )
+        t1m = t1m.persist()
+        try:
+            t1m.write.mode("overwrite").parquet(
+                f"{store_dir}/tier=1m/batch={batch_id}"
+            )
+            up = t1m
+            for tier in ("1h", "1d"):
+                up = (
+                    up.withColumn(
+                        "bucket_start", F.date_trunc(TIERS[tier], "bucket_start")
+                    )
+                    .groupBy(*KEY)
+                    .agg(*moment_merge_aggs())
+                )
+                up.write.mode("overwrite").parquet(
+                    f"{store_dir}/tier={tier}/batch={batch_id}"
+                )
+        finally:
+            t1m.unpersist()
+
+    q = (
+        stream_turns(spark, input_dir)
+        .writeStream.option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .foreachBatch(merge_batch)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_tier(spark: SparkSession, store_dir: str, tier: str) -> DataFrame:
+    """Merge-on-read: combine per-batch partial vectors into final
+    bucket vectors — identical algebra to the batch cascade, so
+    streaming output == batch output exactly."""
+    return (
+        spark.read.parquet(f"{store_dir}/tier={tier}")
+        .groupBy(*KEY)
+        .agg(*moment_merge_aggs())
+    )
