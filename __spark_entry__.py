@@ -848,6 +848,24 @@ def q_simhash(spark, sf_dir):
     return TP.simhash64(read(spark, sf_dir, "documents"))
 
 
+# flagship meta-feature extraction (TSMFE parity) — per-series Arrow
+# kernels + 32-summary reduction; numpy-kernel results have no practical
+# ANSI-SQL oracle -> rows-only check (pytest goldens cover bit-match)
+@register("tsmfe_extract", None)
+def q_tsmfe_extract(spark, sf_dir):
+    from ts_pymfe_spark.api import TSMFESpark
+
+    eng = TSMFESpark(
+        features=[
+            "acf", "pacf", "period", "ps_entropy", "hist_entropy", "dw",
+            "trend_strength", "lumpiness", "stability", "model_naive",
+            "model_linear", "sample_entropy", "lz_complexity",
+        ],
+        summaries=("mean", "sd"),
+    )
+    return eng.extract(_series(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search: embeddings
 # ---------------------------------------------------------------------------

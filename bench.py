@@ -84,7 +84,6 @@ def feature_job(spark, turns_path: str, min_turns: int = 32) -> int:
     (Zipf-head) conversations — the engine's compute-bound path:
     embarrassingly parallel over conversations, no shuffle barriers
     beyond the initial groupBy, Python workers saturate all cores."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ts_pymfe_spark.operators.arrow_kernels import series_features
@@ -92,14 +91,20 @@ def feature_job(spark, turns_path: str, min_turns: int = 32) -> int:
 
     turns = spark.read.parquet(turns_path)
     s = series_of(turns, "text_len")
-    n = F.count("*").over(Window.partitionBy("conv_id"))
-    active = s.withColumn("_n", n).filter(F.col("_n") >= min_turns).drop("_n")
+    # active-conversation selection via aggregate + broadcast semi-join:
+    # one cheap map-side-combined aggregate instead of a full-window pass
+    active_ids = (
+        s.groupBy("conv_id").count().filter(F.col("count") >= min_turns)
+        .select("conv_id")
+    )
+    active = s.join(F.broadcast(active_ids), "conv_id")
     feats = series_features(
         active,
         features=[
             "acf", "pacf", "period", "ps_entropy", "hist_entropy", "dw",
             "trend_strength", "season_strength", "lz_complexity",
-            "sample_entropy",
+            "sample_entropy", "approx_entropy", "model_linear", "model_sine",
+            "model_naive_seasonal",
         ],
         # 512-point tail cap = the reference's own test truncation
         # (test_a.py:27); also equalizes per-group cost so the Zipf-head

@@ -493,3 +493,330 @@ def moving_threshold(ts_scaled: np.ndarray, rate_absorption: float = 0.1,
             cur = (1.0 - rate_decay) * cur
         thr[i] = cur
     return thr
+
+
+# ---------------------------------------------------------------------------
+# Rolling / tiled arrays (reference: local_stats.py; numpy oracle forms
+# of the SQL-family operators in operators/local_stats.py)
+# ---------------------------------------------------------------------------
+
+def _rolling_windows(x: np.ndarray, w: int) -> np.ndarray:
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return sliding_window_view(x, w)
+
+
+def _win_size(n: int, window_size: float = 0.1) -> int:
+    """Reference window sizing: 0.1*n forced odd (_utils.py:36-67)."""
+    w = max(3, int(np.ceil(window_size * n)))
+    if w % 2 == 0:
+        w += 1
+    return min(w, n if n % 2 == 1 else n - 1)
+
+
+def moving_stat(ts: np.ndarray, stat: str, window_size: float = 0.1,
+                shift: bool = False) -> np.ndarray:
+    """Centered rolling statistics on the z-scored series
+    (local_stats.py:256-1278): full-frame values only (nan edges
+    dropped, local_stats.py:113-173); ``shift`` -> |diff| of the stat."""
+    x = np.asarray(ts, dtype=float)
+    sd0 = x.std(ddof=0)
+    x = (x - x.mean()) / sd0 if sd0 > 0 else x - x.mean()
+    w = _win_size(x.size, window_size)
+    if x.size < w:
+        return np.array([])
+    win = _rolling_windows(x, w)
+    if stat == "avg":
+        out = win.mean(axis=1)
+    elif stat == "var":
+        out = win.var(axis=1, ddof=1)
+    elif stat == "sd":
+        out = win.std(axis=1, ddof=1)
+    elif stat == "skewness":
+        n = w
+        mu = win.mean(axis=1, keepdims=True)
+        m2 = ((win - mu) ** 2).mean(axis=1)
+        m3 = ((win - mu) ** 3).mean(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = m3 / m2**1.5 * ((n - 1) / n) ** 1.5
+    elif stat == "kurtosis":
+        n = w
+        mu = win.mean(axis=1, keepdims=True)
+        m2 = ((win - mu) ** 2).mean(axis=1)
+        m4 = ((win - mu) ** 4).mean(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = m4 / m2**2 * (1 - 1 / n) ** 2 - 3
+    elif stat == "acf":
+        # rolling adjusted lag-1 ACF per window (local_stats.py:1031-1086)
+        mu = win.mean(axis=1, keepdims=True)
+        d = win - mu
+        num = (d[:, :-1] * d[:, 1:]).sum(axis=1) / (w - 1)
+        den = (d * d).sum(axis=1) / w
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+    elif stat == "gmean":
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(
+                (win > 0).all(axis=1),
+                np.exp(np.log(np.where(win > 0, win, 1.0)).mean(axis=1)),
+                np.nan,
+            )
+    else:
+        raise ValueError(f"unknown moving stat: {stat}")
+    if shift:
+        out = np.abs(np.diff(out))
+    return out
+
+
+def tiles(ts: np.ndarray, num_tiles: int = 16) -> list[np.ndarray]:
+    return np.array_split(np.asarray(ts, dtype=float), num_tiles)
+
+
+def lumpiness(ts: np.ndarray, num_tiles: int = 16) -> np.ndarray:
+    """Tile variances ddof=1 (local_stats.py:1624-1681)."""
+    return np.array([t.var(ddof=1) for t in tiles(ts, num_tiles) if t.size > 1])
+
+
+def stability(ts: np.ndarray, num_tiles: int = 16) -> np.ndarray:
+    """Tile means (local_stats.py:1684-1733)."""
+    return np.array([t.mean() for t in tiles(ts, num_tiles) if t.size])
+
+
+def local_extrema(ts: np.ndarray, num_tiles: int = 16) -> np.ndarray:
+    """Per-tile max-|v| value (local_stats.py:1736-1788)."""
+    return np.array(
+        [t[np.argmax(np.abs(t))] for t in tiles(ts, num_tiles) if t.size]
+    )
+
+
+def local_range(ts: np.ndarray, num_tiles: int = 16) -> np.ndarray:
+    """Per-tile ptp (local_stats.py:1791-1836)."""
+    return np.array([np.ptp(t) for t in tiles(ts, num_tiles) if t.size])
+
+
+# ---------------------------------------------------------------------------
+# General-family kernels (reference: general.py)
+# ---------------------------------------------------------------------------
+
+def turning_points_flags(ts: np.ndarray, on_diff: bool = False) -> np.ndarray:
+    """(general.py:398-458): binary local-extrema flags."""
+    x = np.diff(ts) if on_diff else np.asarray(ts, dtype=float)
+    d1, d2 = x[1:-1] - x[:-2], x[2:] - x[1:-1]
+    return ((d1 * d2) < 0).astype(float)
+
+
+def step_changes_flags(ts: np.ndarray, on_diff: bool = False) -> np.ndarray:
+    """(general.py:461-543): expanding-window |x−mean|>2sd flags."""
+    x = np.diff(ts) if on_diff else np.asarray(ts, dtype=float)
+    n = x.size
+    out = np.zeros(max(0, n - 2))
+    c1 = np.cumsum(x)
+    c2 = np.cumsum(x * x)
+    for i in range(2, n):
+        m = c1[i - 1] / i
+        var = (c2[i - 1] - c1[i - 1] ** 2 / i) / (i - 1)
+        sd = math.sqrt(var) if var > 0 else 0.0
+        out[i - 2] = 1.0 if abs(x[i] - m) > 2 * sd else 0.0
+    return out
+
+
+def stick_angles(ts: np.ndarray) -> np.ndarray:
+    """(general.py:1478-1525): arctan of slopes between consecutive
+    same-sign observations, both signs concatenated."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    angles = []
+    for sign in (x >= 0, x < 0):
+        idx = np.flatnonzero(sign)
+        if idx.size > 1:
+            slopes = (n - 1) * (x[idx[1:]] - x[idx[:-1]]) / (idx[1:] - idx[:-1])
+            angles.append(np.arctan(slopes))
+    return np.concatenate(angles) if angles else np.array([np.nan])
+
+
+def spikiness(residuals: np.ndarray) -> np.ndarray:
+    """Leave-one-out variances of residuals (global_stats.py:878-925),
+    closed form from (n, Σx, Σx²) — O(n), no loop."""
+    x = np.asarray(residuals, dtype=float)
+    n = x.size
+    if n < 3:
+        return np.array([np.nan])
+    s1, s2 = x.sum(), (x * x).sum()
+    s1_i, s2_i = s1 - x, s2 - x * x
+    return (s2_i - s1_i * s1_i / (n - 1)) / (n - 2)
+
+
+def embed_in_shell(ts: np.ndarray, radii=(0.0, 1.0), dim: int = 2,
+                   lag: int = 1) -> float:
+    """Fraction of Takens-embedded points inside the hypershell
+    (general.py:1244-1384), on the z-scored series."""
+    x = np.asarray(ts, dtype=float)
+    sd = x.std(ddof=0)
+    x = (x - x.mean()) / sd if sd > 0 else x - x.mean()
+    emb = _embed(x, dim, lag)
+    norms = np.sqrt((emb * emb).sum(axis=1))
+    lo, hi = radii
+    return float(np.mean((norms >= lo) & (norms <= hi)))
+
+
+def ioe_stats(ts: np.ndarray, func, step_size: float = 0.05,
+              max_it: int = 1024, differentiate: bool = False) -> np.ndarray:
+    """Iterative-outlier-exclusion statistics (reference
+    ``_utils.py:248-350`` calc_ioe_stats): raise an absolute-value
+    threshold stepwise; at each step apply ``func`` to the (optionally
+    differenced) indices of surviving outliers."""
+    x = np.asarray(ts, dtype=float)
+    sd = x.std(ddof=0)
+    xs = (x - x.mean()) / sd if sd > 0 else x - x.mean()
+    ts_abs = np.abs(xs)
+    min_abs, max_abs = ts_abs.min(), ts_abs.max()
+    step = step_size * ts_abs.std(ddof=0)
+    if step <= 0:
+        return np.array([np.nan])
+    n_it = min(max_it, int(np.ceil(max_abs / step)))
+    out = []
+    threshold = min_abs
+    for _ in range(n_it):
+        threshold += step
+        steps = np.flatnonzero(ts_abs >= threshold)
+        if steps.size <= 1:
+            break
+        d = np.diff(steps, int(differentiate))
+        out.append(func(d))
+    return np.asarray(out, dtype=float) if out else np.array([np.nan])
+
+
+def boxcox_lambda(ts: np.ndarray) -> float:
+    """MLE Box-Cox lambda via golden-section search on the profile
+    log-likelihood (scipy boxcox_normmax(method='mle') semantics,
+    global_stats.py:810-845); data shifted positive first."""
+    x = np.asarray(ts, dtype=float)
+    x = x - x.min() + 1e-4  # shift to positive (reference behavior)
+    n = x.size
+    logx = np.log(x)
+    slogx = logx.sum()
+
+    def negll(lmb: float) -> float:
+        if abs(lmb) < 1e-12:
+            y = logx
+        else:
+            y = (np.power(x, lmb) - 1) / lmb
+        var = y.var(ddof=0)
+        if var <= 0:
+            return np.inf
+        return 0.5 * n * math.log(var) - (lmb - 1) * slogx
+
+    lo, hi = -5.0, 5.0
+    gr = (math.sqrt(5) - 1) / 2
+    a, b = lo, hi
+    c, d = b - gr * (b - a), a + gr * (b - a)
+    fc, fd = negll(c), negll(d)
+    for _ in range(200):
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - gr * (b - a)
+            fc = negll(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + gr * (b - a)
+            fd = negll(d)
+        if abs(b - a) < 1e-10:
+            break
+    return float((a + b) / 2)
+
+
+# ---------------------------------------------------------------------------
+# Randomize / surrogate family (reference: randomize.py, _surrogates.py)
+# Determinism: np.random.seed per call, matching the reference's global
+# seeding (tsmfe.py:272-274); engine derives seed per (conv_id, feature)
+# ---------------------------------------------------------------------------
+
+def itrand_stat(ts: np.ndarray, func, strategy: str = "dist-dynamic",
+                prop_rep: float = 2, prop_interval: float = 0.1,
+                random_state: int | None = None) -> np.ndarray:
+    """Iterative-perturbation statistic trajectory (randomize.py:174-312)."""
+    x = np.asarray(ts, dtype=float)
+    sd = x.std(ddof=0)
+    xs = (x - x.mean()) / sd if sd > 0 else x - x.mean()
+    rep_it = int(np.ceil(prop_interval * xs.size))
+    num_it = int(np.ceil(prop_rep * xs.size))
+    num_it += num_it % rep_it
+    res = np.zeros(1 + num_it // rep_it)
+    ts_rnd = np.copy(xs)
+    ts_src = xs if strategy == "dist-static" else ts_rnd
+    swap = strategy == "permute"
+    if random_state is not None:
+        np.random.seed(random_state)
+    inds = np.random.randint(xs.size, size=(num_it, 2))
+    stat_ind = 0
+    for it, (a, b) in enumerate(inds):
+        if swap:
+            ts_rnd[a], ts_src[b] = ts_src[b], ts_rnd[a]
+        else:
+            ts_rnd[a] = ts_src[b]
+        if it % rep_it == 0:
+            res[stat_ind] = func(ts_rnd)
+            stat_ind += 1
+    return res
+
+
+def iaaft(ts: np.ndarray, max_iter: int = 128, atol: float = 1e-8,
+          rtol: float = 1e-10, random_state: int | None = None) -> np.ndarray:
+    """IAAFT surrogate (reference ``_surrogates.py:8-82``, itself adapted
+    from the public nolitsa package): iterative amplitude-adjusted
+    Fourier transform preserving amplitude spectrum + value distribution."""
+    x = np.asarray(ts, dtype=float)
+    ampl = np.abs(np.fft.rfft(x))
+    sort = np.sort(x)
+    err_prev, err_cur = -1.0, atol + 1
+    if random_state is not None:
+        np.random.seed(random_state)
+    ts_fft = np.fft.rfft(np.random.permutation(x))
+    ts_sur = x
+    for _ in range(max_iter):
+        s = np.fft.irfft(ampl * ts_fft / (1e-8 + np.abs(ts_fft)), n=x.size).real
+        ts_sur = sort[np.argsort(np.argsort(s))]
+        ts_fft = np.fft.rfft(ts_sur)
+        err_cur = math.sqrt(float(np.mean((ampl**2 - np.abs(ts_fft) ** 2) ** 2)))
+        if abs(err_cur - err_prev) <= atol + rtol * abs(err_prev):
+            break
+        err_prev = err_cur
+    return ts_sur
+
+
+def surrogate_stat(ts: np.ndarray, func, surrogate_num: int = 32,
+                   max_iter: int = 128, random_state: int | None = None) -> np.ndarray:
+    """Apply ``func`` on IAAFT surrogates; seed increments per replica
+    (reference ``_surrogates.py:154-158``)."""
+    out = np.zeros(surrogate_num)
+    for i in range(surrogate_num):
+        seed = None if random_state is None else random_state + i
+        out[i] = func(iaaft(ts, max_iter=max_iter, random_state=seed))
+    return out
+
+
+def resample_stat(ts: np.ndarray, func, num_samples: int = 64,
+                  sample_frac: float = 0.1,
+                  random_state: int | None = None) -> np.ndarray:
+    """Statistic over random contiguous subsamples
+    (randomize.py:604-761, sampler ``_utils.py:353-415``)."""
+    x = np.asarray(ts, dtype=float)
+    m = max(2, int(np.ceil(sample_frac * x.size)))
+    if random_state is not None:
+        np.random.seed(random_state)
+    starts = np.random.randint(0, x.size - m + 1, size=num_samples)
+    return np.asarray([func(x[s : s + m]) for s in starts], dtype=float)
+
+
+def trev_stat(ts: np.ndarray, lag: int = 1) -> float:
+    d = ts[lag:] - ts[:-lag]
+    m2 = np.mean(d**2)
+    return float(np.mean(d**3) / m2**1.5) if m2 > 0 else np.nan
+
+
+def tc3_stat(ts: np.ndarray, lag: int = 1) -> float:
+    x = ts[: -2 * lag] if lag > 0 else ts
+    x1 = ts[lag : ts.size - lag]
+    x2 = ts[2 * lag :]
+    den = abs(np.mean(ts[:-lag] * ts[lag:])) ** 1.5
+    return float(np.mean(x * x1 * x2) / den) if den > 0 else np.nan

@@ -1,0 +1,219 @@
+"""Landmarking kernels: forward-chaining CV scores of simple forecast
+models (reference ``landmarking.py`` + ``_models.py`` + ``scoring.py``),
+re-derived in pure numpy (sklearn/scipy/statsmodels unavailable here —
+each component replicates the cited formula).
+
+Pipeline contract (``landmarking.py:36-146``):
+  - X = linspace(0,1,n) timestamps, y = series
+  - TimeSeriesSplit(n_splits=5): sklearn semantics — test size
+    n//(n_splits+1), fold i trains on everything before its test block
+  - per-fold MinMax scaling of y to [0,1], fit on train only
+    (``landmarking.py:125-136``)
+  - failed fits -> nan (``landmarking.py:143-144``)
+  - score(y_pred, y_test), default rmse (``tsmfe.py:52``)
+  - every feature returns the 5-fold score vector (summarized later)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# scoring (reference scoring.py:7-63)
+# ---------------------------------------------------------------------------
+
+def mse(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.mean((a - b) ** 2))
+
+
+def rmse(a: np.ndarray, b: np.ndarray) -> float:
+    return float(math.sqrt(mse(a, b)))
+
+
+def mae(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.mean(np.abs(a - b)))
+
+
+def smape(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.mean(np.abs(a - b) / (1e-9 + np.abs(a) + np.abs(b))))
+
+
+SCORES: dict[str, Callable] = {"mse": mse, "rmse": rmse, "mae": mae, "smape": smape}
+
+
+# ---------------------------------------------------------------------------
+# forward chaining split (sklearn TimeSeriesSplit(n_splits))
+# ---------------------------------------------------------------------------
+
+def ts_splits(n: int, n_splits: int = 5):
+    """Yield (train_idx_end, test_start, test_end) triples, sklearn
+    TimeSeriesSplit semantics: test_size = n // (n_splits+1)."""
+    test_size = n // (n_splits + 1)
+    if test_size < 1:
+        return
+    for i in range(n_splits):
+        test_start = n - (n_splits - i) * test_size
+        yield test_start, test_start, test_start + test_size
+
+
+# ---------------------------------------------------------------------------
+# models: fit(Xtr, ytr) -> predict(Xte) closures (reference _models.py)
+# ---------------------------------------------------------------------------
+
+def _m_mean(Xtr, ytr, Xte, period):
+    return np.full(Xte.shape[0], ytr.mean())
+
+
+def _m_loc_mean(Xtr, ytr, Xte, period, train_prop=0.25):
+    k = int(np.ceil(ytr.size * train_prop))
+    return np.full(Xte.shape[0], ytr[-k:].mean())
+
+
+def _m_loc_median(Xtr, ytr, Xte, period, train_prop=0.25):
+    k = int(np.ceil(ytr.size * train_prop))
+    return np.full(Xte.shape[0], float(np.median(ytr[-k:])))
+
+
+def _m_naive(Xtr, ytr, Xte, period):
+    return np.full(Xte.shape[0], ytr[-1])
+
+
+def _m_naive_drift(Xtr, ytr, Xte, period):
+    slope = (ytr[-1] - ytr[0]) / (Xtr[-1] - Xtr[0]) if ytr.size > 1 else 0.0
+    return ytr[-1] + (Xte - Xtr[-1]) * slope
+
+
+def _m_naive_seasonal(Xtr, ytr, Xte, period):
+    """TSNaiveSeasonal (``_models.py:127-186``): value from the
+    corresponding position of the previous period, using integer
+    timestamp indices."""
+    if period is None or period < 1 or ytr.size < period:
+        raise ValueError("series shorter than period")
+    interval = Xtr[1] - Xtr[0]
+    ix = (Xte / interval).astype(int)
+    shift = (ix - ytr.size) // period
+    inds = ix - period * (1 + shift)
+    if np.any(inds < 0):
+        raise ValueError("cannot predict before fitted range")
+    return ytr[inds]
+
+
+def _m_linear(Xtr, ytr, Xte, period):
+    A = np.column_stack([np.ones(Xtr.size), Xtr])
+    beta, *_ = np.linalg.lstsq(A, ytr, rcond=None)
+    return beta[0] + beta[1] * Xte
+
+
+def _m_linear_seasonal(Xtr, ytr, Xte, period):
+    """OLS on one-hot season-position dummies (``landmarking.py:1087-1095``)."""
+    p = max(2, period or 2)
+    postr = (np.arange(Xtr.size) % p)
+    poste = (Xtr.size + np.arange(Xte.size)) % p
+    A = np.zeros((Xtr.size, p))
+    A[np.arange(Xtr.size), postr] = 1.0
+    beta, *_ = np.linalg.lstsq(A, ytr, rcond=None)
+    return beta[poste]
+
+
+def _sine_func(t, A, w, p, c):
+    return A * np.sin(w * t + p) + c
+
+
+def _m_sine(Xtr, ytr, Xte, period):
+    """TSSine (``_models.py:267-345``): A·sin(wt+p)+c, FFT initial guess
+    then Gauss-Newton refinement (stand-in for scipy curve_fit's LM —
+    same objective, deterministic)."""
+    n = ytr.size
+    if n < 8:
+        raise ValueError("too short for sine fit")
+    freqs = np.fft.fftfreq(n, Xtr[1] - Xtr[0])
+    fyy = np.abs(np.fft.rfft(ytr))[1:]
+    w0 = 2 * np.pi * abs(freqs[1 + int(np.argmax(fyy))])
+    theta = np.array([ytr.std() * math.sqrt(2), max(w0, 1e-6), 0.0, ytr.mean()])
+    for _ in range(50):
+        A, w, p, c = theta
+        s = np.sin(w * Xtr + p)
+        cc = np.cos(w * Xtr + p)
+        r = ytr - (A * s + c)
+        J = np.column_stack([s, A * Xtr * cc, A * cc, np.ones(n)])
+        try:
+            step, *_ = np.linalg.lstsq(J, r, rcond=None)
+        except np.linalg.LinAlgError:
+            break
+        theta = theta + step
+        if np.max(np.abs(step)) < 1e-10:
+            break
+    A, w, p, c = theta
+    if not np.all(np.isfinite(theta)):
+        raise ValueError("sine fit diverged")
+    return _sine_func(Xte, A, w, p, c)
+
+
+def _m_exp(Xtr, ytr, Xte, period):
+    """TSExp (``_models.py:348-391``): a·e^{bt}+c via grid on b +
+    linear lstsq for (a, c) — deterministic curve_fit stand-in."""
+    best = None
+    for b in np.linspace(-8, 8, 65):
+        e = np.exp(b * Xtr)
+        A = np.column_stack([e, np.ones(Xtr.size)])
+        beta, res, *_ = np.linalg.lstsq(A, ytr, rcond=None)
+        pred = A @ beta
+        sse = float(np.sum((ytr - pred) ** 2))
+        if best is None or sse < best[0]:
+            best = (sse, b, beta)
+    _, b, beta = best
+    return beta[0] * np.exp(b * Xte) + beta[1]
+
+
+MODELS: dict[str, Callable] = {
+    "model_mean": _m_mean,
+    "model_loc_mean": _m_loc_mean,
+    "model_loc_median": _m_loc_median,
+    "model_naive": _m_naive,
+    "model_naive_drift": _m_naive_drift,
+    "model_naive_seasonal": _m_naive_seasonal,
+    "model_linear": _m_linear,
+    "model_linear_seasonal": _m_linear_seasonal,
+    "model_sine": _m_sine,
+    "model_exp": _m_exp,
+}
+
+
+def landmark_scores(y: np.ndarray, model: str, period: int | None = None,
+                    score: str = "rmse", num_cv_folds: int = 5,
+                    lm_sample_frac: float = 1.0) -> np.ndarray:
+    """The standard pipeline (``landmarking.py:36-146``): returns the
+    per-fold score vector (len = num_cv_folds), nan where the fit fails."""
+    y = np.asarray(y, dtype=float)
+    if lm_sample_frac < 1.0:
+        keep = int(np.ceil(y.size * lm_sample_frac))
+        y = y[-keep:]
+    n = y.size
+    score_fn = SCORES[score]
+    model_fn = MODELS[model]
+    # seasonal-naive uses integer timestamps (landmarking.py:1241-1313);
+    # everything else the [0,1] linspace
+    if model == "model_naive_seasonal":
+        X = np.arange(n, dtype=float)
+    else:
+        X = np.linspace(0.0, 1.0, n)
+    out = np.full(num_cv_folds, np.nan)
+    for fold, (tr_end, te_s, te_e) in enumerate(ts_splits(n, num_cv_folds)):
+        ytr, yte = y[:tr_end], y[te_s:te_e]
+        Xtr, Xte = X[:tr_end], X[te_s:te_e]
+        # per-fold MinMax scale fit on train (landmarking.py:125-136)
+        lo, hi = ytr.min(), ytr.max()
+        span = hi - lo
+        if span == 0:
+            span = 1.0
+        ytr_s = (ytr - lo) / span
+        yte_s = (yte - lo) / span
+        try:
+            pred = model_fn(Xtr, ytr_s, Xte, period)
+            out[fold] = score_fn(np.asarray(pred, float).ravel(), yte_s)
+        except (ValueError, ZeroDivisionError, np.linalg.LinAlgError):
+            out[fold] = np.nan
+    return out

@@ -75,6 +75,90 @@ FEATURE_KERNELS: dict[str, Callable[[np.ndarray], float | np.ndarray]] = {
     ),
 }
 
+# landmarking family: 5-fold forward-chaining CV rmse vectors
+# (functions/landmarking.py; reference landmarking.py ft_model_*)
+from ts_pymfe_spark.functions import landmarking as LM  # noqa: E402
+
+for _model in LM.MODELS:
+    FEATURE_KERNELS[_model] = (
+        lambda x, m=_model: LM.landmark_scores(
+            x, m, period=K.ts_period(x) if m.endswith("seasonal") else None
+        )
+    )
+
+# rolling/tiled array features (numpy oracle forms of operators/local_stats)
+for _stat in ("avg", "var", "sd", "skewness", "kurtosis", "acf", "gmean"):
+    FEATURE_KERNELS[f"moving_{_stat}"] = (
+        lambda x, s=_stat: K.moving_stat(x, s, shift=False)
+    )
+    FEATURE_KERNELS[f"moving_{_stat}_shift"] = (
+        lambda x, s=_stat: K.moving_stat(x, s, shift=True)
+    )
+FEATURE_KERNELS.update(
+    {
+        "lumpiness": K.lumpiness,
+        "stability": K.stability,
+        "local_extrema": K.local_extrema,
+        "local_range": K.local_range,
+        "length": lambda x: float(x.size),
+        "turning_points": K.turning_points_flags,
+        "turning_points_trend": lambda x: K.turning_points_flags(x, on_diff=True),
+        "step_changes": K.step_changes_flags,
+        "step_changes_trend": lambda x: K.step_changes_flags(x, on_diff=True),
+        "stick_angles": K.stick_angles,
+        "spikiness": lambda x: K.spikiness(K.decompose(x)[2]),
+        "embed_in_shell": K.embed_in_shell,
+        "ioe_tdelta_mean": lambda x: K.ioe_stats(x, np.mean, differentiate=True),
+        "opt_boxcox_coef": K.boxcox_lambda,
+        "trev": K.trev_stat,
+        "tc3": K.tc3_stat,
+    }
+)
+
+#: seeded Monte-Carlo features: callable(x, seed) — the engine derives
+#: seed per (conv_id, feature) so results are deterministic under any
+#: repartitioning (SURVEY §2.10 determinism contract)
+SEEDED_FEATURE_KERNELS: dict[str, Callable] = {
+    "itrand_mean": lambda x, seed: K.itrand_stat(x, np.mean, random_state=seed),
+    "itrand_sd": lambda x, seed: K.itrand_stat(
+        x, lambda v: np.std(v, ddof=1), random_state=seed
+    ),
+    "itrand_acf": lambda x, seed: K.itrand_stat(
+        x,
+        lambda v: K.acf(v, nlags=1, adjusted=True)[0] if v.size > 2 else np.nan,
+        random_state=seed,
+    ),
+    "resample_std": lambda x, seed: K.resample_stat(
+        x, lambda v: np.std(v, ddof=1), num_samples=64, sample_frac=0.1,
+        random_state=seed,
+    ),
+    "resample_first_acf_nonpos": lambda x, seed: K.resample_stat(
+        x,
+        lambda v: K.first_acf_nonpos(K.acf(v, nlags=max(1, v.size // 2))),
+        num_samples=128, sample_frac=0.2, random_state=seed,
+    ),
+    "resample_first_acf_locmin": lambda x, seed: K.resample_stat(
+        x,
+        lambda v: K.first_local_min(K.acf(v, nlags=max(1, v.size // 2))),
+        num_samples=128, sample_frac=0.2, random_state=seed,
+    ),
+    # trev/tc3 on 32 IAAFT surrogates relative to original
+    # (randomize.py:764-1015)
+    "surr_trev": lambda x, seed: K.surrogate_stat(
+        x, K.trev_stat, surrogate_num=32, random_state=seed
+    ) - K.trev_stat(x),
+    "surr_tc3": lambda x, seed: K.surrogate_stat(
+        x, K.tc3_stat, surrogate_num=32, random_state=seed
+    ) - K.tc3_stat(x),
+}
+
+
+def feature_seed(conv_id: str, feature: str, base_seed: int = 42) -> int:
+    """Deterministic per-(conv, feature) seed — stable under shuffle."""
+    import zlib
+
+    return (base_seed * 1_000_003 + zlib.crc32(f"{conv_id}:{feature}".encode())) % (2**31)
+
 
 def _zscore(x: np.ndarray) -> np.ndarray:
     sd = x.std(ddof=0)
@@ -116,8 +200,11 @@ def series_features(
     ``max_points``: quadratic-kernel cap — each group is truncated to
     its most-recent ``max_points`` observations after sorting (the
     reference's tail-truncation semantics, test_a.py:27)."""
-    names = list(features) if features is not None else list(FEATURE_KERNELS)
-    unknown = set(names) - set(FEATURE_KERNELS)
+    if features is not None:
+        names = list(features)
+    else:
+        names = list(FEATURE_KERNELS) + list(SEEDED_FEATURE_KERNELS)
+    unknown = set(names) - set(FEATURE_KERNELS) - set(SEEDED_FEATURE_KERNELS)
     if unknown:
         raise ValueError(f"unknown features: {sorted(unknown)}")
     has_series = "series" in df.columns
@@ -135,7 +222,12 @@ def series_features(
         out_val: list[float] = []
         for name in names:
             try:
-                res = FEATURE_KERNELS[name](x)
+                if name in SEEDED_FEATURE_KERNELS:
+                    res = SEEDED_FEATURE_KERNELS[name](
+                        x, feature_seed(conv, name)
+                    )
+                else:
+                    res = FEATURE_KERNELS[name](x)
             except Exception:
                 res = np.nan  # error containment: nan, never fail the job
                 # (reference behavior: _internal.py:594-614)
