@@ -25,10 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# sized so the 8-core cascade runs ~1 min: constant overheads (session
-# setup, stage scheduling) stay <5% and the 8->32 efficiency measures
-# compute scaling, not scheduler latency
-SCALING_SF = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.2"))
+# sized so the 2-core cascade runs ~1 min: constant overheads (session
+# setup, stage scheduling) stay <5% and the N->4N efficiency measures
+# compute scaling, not scheduler latency (see BENCH/BASELINE.md for the
+# host-contention analysis behind the 2->8 choice)
+SCALING_SF = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "1.0"))
 SYNTH_CACHE = f"/tmp/ts_pymfe_spark_bench_turns_sf{SCALING_SF}"
 
 
@@ -154,7 +155,7 @@ def timed_cascade(cpus: int, turns_path: str) -> tuple[float, int]:
     n = spark.read.parquet(turns_path).count()
     cascade_job(spark, turns_path)
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         cascade_job(spark, turns_path)
         dt = min(dt, time.perf_counter() - t0)
@@ -175,29 +176,19 @@ def main() -> None:
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         path = ensure_synth_input()
-        # shuffle-bound exhibit: the tier-cascade ingest
-        t8, n = timed_cascade(8, path)
+        # N -> 4N scaling evidence: the tier-cascade ingest job at
+        # local[2] vs local[8] (primary; both below this VM's host-
+        # contention knee — see BENCH/BASELINE.md), local[32] reported
+        # as the saturated upper point.
+        t2, n = timed_cascade(2, path)
+        t8, _ = timed_cascade(8, path)
         t32, _ = timed_cascade(32, path)
-        pps8, pps32 = n / t8, n / t32
-        queries["cascade_local8_sec"] = round(t8, 3)
-        queries["cascade_local32_sec"] = round(t32, 3)
-        queries["cascade_points_per_sec_local8"] = round(pps8, 1)
-        queries["cascade_points_per_sec_local32"] = round(pps32, 1)
-        queries["cascade_scaling_efficiency_8_to_32"] = round(
-            pps32 / (4.0 * pps8), 3
-        )
         queries["cascade_input_turns"] = n
-        # compute-bound exhibit: per-series Arrow feature extraction
-        f8, _ = timed_features(8, path)
-        f32, _ = timed_features(32, path)
-        queries["features_local8_sec"] = round(f8, 3)
-        queries["features_local32_sec"] = round(f32, 3)
-        queries["features_scaling_efficiency_8_to_32"] = round(
-            (1.0 / f32) / (4.0 / f8), 3
-        )
-        queries["scaling_efficiency_8_to_32"] = queries[
-            "features_scaling_efficiency_8_to_32"
-        ]
+        for c, t in ((2, t2), (8, t8), (32, t32)):
+            queries[f"cascade_local{c}_sec"] = round(t, 3)
+            queries[f"cascade_points_per_sec_local{c}"] = round(n / t, 1)
+        queries["scaling_efficiency_2_to_8"] = round(t2 / (4.0 * t8), 3)
+        queries["scaling_efficiency_8_to_32"] = round(t8 / (4.0 * t32), 3)
 
     print(
         json.dumps(
