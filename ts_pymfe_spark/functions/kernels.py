@@ -820,3 +820,640 @@ def tc3_stat(ts: np.ndarray, lag: int = 1) -> float:
     x2 = ts[2 * lag :]
     den = abs(np.mean(ts[:-lag] * ts[lag:])) ** 1.5
     return float(np.mean(x * x1 * x2) / den) if den > 0 else np.nan
+
+
+# ---------------------------------------------------------------------------
+# Normal distribution helpers (erf-based; scipy unavailable)
+# ---------------------------------------------------------------------------
+
+def norm_cdf(x: np.ndarray) -> np.ndarray:
+    from math import erf
+
+    xa = np.atleast_1d(np.asarray(x, dtype=float))
+    out = np.array([0.5 * (1.0 + erf(v / math.sqrt(2.0))) for v in xa])
+    return out if np.ndim(x) else float(out[0])
+
+
+# ---------------------------------------------------------------------------
+# Statistical tests (reference: stat_tests.py) — numpy re-derivations
+# of the published test constructions
+# ---------------------------------------------------------------------------
+
+def _ols(X: np.ndarray, y: np.ndarray):
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    dof = X.shape[0] - X.shape[1]
+    sigma2 = float(resid @ resid) / max(dof, 1)
+    XtX_inv = np.linalg.pinv(X.T @ X)
+    se = np.sqrt(np.maximum(np.diag(XtX_inv) * sigma2, 0.0))
+    return beta, se, resid
+
+
+def adf_stat(ts: np.ndarray, max_lags: int | None = None) -> float:
+    """Augmented Dickey-Fuller t-statistic, constant-only regression
+    (statsmodels ``adfuller`` construction used at stat_tests.py:176-223):
+    Δx_t = a + γ·x_{t−1} + Σ φ_i Δx_{t−i} + e; returns t(γ).
+    Lag order: Schwert rule 12·(n/100)^0.25 then BIC selection is
+    approximated by the fixed Schwert maximum (documented divergence)."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    if n < 12:
+        return np.nan
+    if max_lags is None:
+        max_lags = min(int(np.ceil(12.0 * (n / 100.0) ** 0.25)), n // 2 - 2)
+    d = np.diff(x)
+    k = max_lags
+    rows = d.size - k
+    y = d[k:]
+    cols = [np.ones(rows), x[k:-1]]
+    for i in range(1, k + 1):
+        cols.append(d[k - i : d.size - i])
+    X = np.column_stack(cols)
+    beta, se, _ = _ols(X, y)
+    return float(beta[1] / se[1]) if se[1] > 0 else np.nan
+
+
+#: MacKinnon (2010) asymptotic critical values, constant-only ADF
+_ADF_CRIT = {0.01: -3.43, 0.05: -2.86, 0.10: -2.57}
+
+
+def adf_pvalue_approx(t_stat: float) -> float:
+    """Coarse p-value by log-linear interpolation over the MacKinnon
+    asymptotic critical values (exact mackinnonp polynomial not
+    vendored; the statistic itself is the fixture contract)."""
+    if not np.isfinite(t_stat):
+        return np.nan
+    pts = sorted(_ADF_CRIT.items(), key=lambda kv: kv[1])  # by crit value
+    cs = [c for _, c in pts]
+    ps = [p for p, _ in pts]
+    if t_stat <= cs[0]:
+        return ps[0]
+    if t_stat >= cs[-1]:
+        return min(1.0, ps[-1] + 0.45 * (t_stat - cs[-1]))
+    for (p1, c1), (p2, c2) in zip(pts[:-1], pts[1:]):
+        if c1 <= t_stat <= c2:
+            w = (t_stat - c1) / (c2 - c1)
+            return p1 + w * (p2 - p1)
+    return np.nan
+
+
+def kpss_stat(ts: np.ndarray, regression: str = "c") -> float:
+    """KPSS statistic (level-stationarity, Newey-West bartlett long-run
+    variance with the statsmodels legacy lag rule int(12·(n/100)^0.25)) —
+    reference stat_tests.py:332-380 (arch.unitroot.KPSS)."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    if n < 12:
+        return np.nan
+    if regression == "ct":
+        t = np.arange(n, dtype=float)
+        X = np.column_stack([np.ones(n), t])
+        _, _, e = _ols(X, x)
+    else:
+        e = x - x.mean()
+    s = np.cumsum(e)
+    lags = int(np.ceil(12.0 * (n / 100.0) ** 0.25))
+    gamma0 = float(e @ e) / n
+    lrv = gamma0
+    for k in range(1, lags + 1):
+        w = 1.0 - k / (lags + 1.0)
+        lrv += 2.0 * w * float(e[:-k] @ e[k:]) / n
+    if lrv <= 0:
+        return np.nan
+    return float(s @ s / (n * n * lrv))
+
+
+def arch_lm_stat(ts: np.ndarray, nlags: int = 12) -> tuple[float, float]:
+    """Engle ARCH-LM (statsmodels het_arch construction,
+    stat_tests.py:127-173): regress x² on its own lags; LM = n·R²,
+    p-value from chi2(nlags)."""
+    x = np.asarray(ts, dtype=float)
+    x2 = (x - x.mean()) ** 2
+    n = x2.size
+    nlags = min(nlags, n // 2 - 1)
+    if nlags < 1:
+        return np.nan, np.nan
+    rows = n - nlags
+    y = x2[nlags:]
+    X = np.column_stack(
+        [np.ones(rows)] + [x2[nlags - i : n - i] for i in range(1, nlags + 1)]
+    )
+    beta, _, resid = _ols(X, y)
+    ss_res = float(resid @ resid)
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+    lm = rows * r2
+    return float(lm), chi2_sf(lm, nlags)
+
+
+def lilliefors_stat(ts: np.ndarray, dist: str = "norm") -> float:
+    """Lilliefors KS statistic with estimated parameters
+    (statsmodels lilliefors, stat_tests.py:425-480): sup|F̂ − F|
+    against normal (mean, sd ddof=1) or exponential (mean)."""
+    x = np.sort(np.asarray(ts, dtype=float))
+    n = x.size
+    if n < 4:
+        return np.nan
+    if dist == "norm":
+        sd = x.std(ddof=1)
+        if sd == 0:
+            return np.nan
+        cdf = norm_cdf((x - x.mean()) / sd)
+    elif dist == "exp":
+        mu = x.mean()
+        if mu <= 0:
+            return np.nan
+        cdf = 1.0 - np.exp(-x / mu)
+    else:
+        raise ValueError(dist)
+    ecdf_hi = np.arange(1, n + 1) / n
+    ecdf_lo = np.arange(0, n) / n
+    return float(max(np.max(ecdf_hi - cdf), np.max(cdf - ecdf_lo)))
+
+
+# ---------------------------------------------------------------------------
+# Model-based features (reference: model_based.py)
+# ---------------------------------------------------------------------------
+
+def nelder_mead(f, x0: np.ndarray, max_iter: int = 400, tol: float = 1e-8) -> np.ndarray:
+    """Deterministic Nelder-Mead simplex minimizer (scipy stand-in for
+    the smoothing-parameter MLE fits)."""
+    x0 = np.asarray(x0, dtype=float)
+    k = x0.size
+    simplex = [x0]
+    for i in range(k):
+        p = x0.copy()
+        p[i] = p[i] + (0.05 if p[i] != 0 else 0.00025)
+        simplex.append(p)
+    simplex = np.array(simplex)
+    fv = np.array([f(p) for p in simplex])
+    for _ in range(max_iter):
+        order = np.argsort(fv)
+        simplex, fv = simplex[order], fv[order]
+        if abs(fv[-1] - fv[0]) < tol:
+            break
+        centroid = simplex[:-1].mean(axis=0)
+        xr = centroid + (centroid - simplex[-1])
+        fr = f(xr)
+        if fr < fv[0]:
+            xe = centroid + 2.0 * (centroid - simplex[-1])
+            fe = f(xe)
+            simplex[-1], fv[-1] = (xe, fe) if fe < fr else (xr, fr)
+        elif fr < fv[-2]:
+            simplex[-1], fv[-1] = xr, fr
+        else:
+            xc = centroid + 0.5 * (simplex[-1] - centroid)
+            fc = f(xc)
+            if fc < fv[-1]:
+                simplex[-1], fv[-1] = xc, fc
+            else:
+                for i in range(1, k + 1):
+                    simplex[i] = simplex[0] + 0.5 * (simplex[i] - simplex[0])
+                    fv[i] = f(simplex[i])
+    return simplex[np.argmin(fv)]
+
+
+def _clip01(v: float) -> float:
+    return min(1.0 - 1e-6, max(1e-6, v))
+
+
+def des_params(ts: np.ndarray) -> tuple[float, float]:
+    """Holt double-exponential-smoothing (alpha, beta) by SSE
+    minimization (reference model_based.py:294-344 via statsmodels
+    Holt().fit())."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    if n < 5:
+        return np.nan, np.nan
+
+    def sse(p):
+        a, b = _clip01(p[0]), _clip01(p[1])
+        lvl, tr = x[0], x[1] - x[0]
+        s = 0.0
+        for t in range(1, n):
+            pred = lvl + tr
+            e = x[t] - pred
+            s += e * e
+            new_lvl = a * x[t] + (1 - a) * (lvl + tr)
+            tr = b * (new_lvl - lvl) + (1 - b) * tr
+            lvl = new_lvl
+        return s
+
+    a, b = nelder_mead(sse, np.array([0.3, 0.1]))
+    return _clip01(a), _clip01(b)
+
+
+def ets_params(ts: np.ndarray, period: int) -> tuple[float, float, float]:
+    """Holt-Winters additive (alpha, beta, gamma) by SSE minimization
+    (reference model_based.py:346-413 via ExponentialSmoothing)."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    m = int(period)
+    if m < 2 or n < 2 * m + 2:
+        return np.nan, np.nan, np.nan
+    seas0 = x[:m] - x[:m].mean()
+
+    def sse(p):
+        a, b, g = (_clip01(v) for v in p)
+        lvl = x[:m].mean()
+        tr = (x[m : 2 * m].mean() - lvl) / m
+        seas = seas0.copy()
+        s = 0.0
+        for t in range(m, n):
+            pred = lvl + tr + seas[t % m]
+            e = x[t] - pred
+            s += e * e
+            new_lvl = a * (x[t] - seas[t % m]) + (1 - a) * (lvl + tr)
+            tr = b * (new_lvl - lvl) + (1 - b) * tr
+            seas[t % m] = g * (x[t] - new_lvl) + (1 - g) * seas[t % m]
+            lvl = new_lvl
+        return s
+
+    a, b, g = nelder_mead(sse, np.array([0.3, 0.05, 0.1]))
+    return _clip01(a), _clip01(b), _clip01(g)
+
+
+def orthopoly_features(ts: np.ndarray) -> tuple[float, float]:
+    """(linearity, curvature): 1st/2nd orthogonal-polynomial OLS
+    coefficients of the trend component (reference model_based.py:794-893,
+    orthopoly construction _orthopoly.py:5-40 — QR of vandermonde)."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    if n < 4:
+        return np.nan, np.nan
+    t = np.arange(n, dtype=float)
+    V = np.vander(t, 3, increasing=True)
+    Q, _ = np.linalg.qr(V)
+    beta, *_ = np.linalg.lstsq(Q, x, rcond=None)
+    return float(beta[1]), float(beta[2])
+
+
+def ar2_cycle_period(ts: np.ndarray) -> float:
+    """ft_avg_cycle_period (model_based.py:896-940): fit AR(2) by OLS;
+    cycle period 2π/arccos(−φ₁(1−φ₂)/(4φ₂)) when complex roots exist,
+    nan otherwise."""
+    x = np.asarray(ts, dtype=float)
+    x = x - x.mean()
+    n = x.size
+    if n < 8:
+        return np.nan
+    X = np.column_stack([x[1:-1], x[:-2]])
+    y = x[2:]
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    p1, p2 = float(beta[0]), float(beta[1])
+    if p2 >= 0 or p1 * p1 + 4 * p2 >= 0:
+        return np.nan
+    arg = -p1 * (1 - p2) / (4 * p2)
+    if not -1 <= arg <= 1:
+        return np.nan
+    return float(2 * math.pi / math.acos(arg))
+
+
+def ioe_std_linreg(ts: np.ndarray, step_size: float = 0.05) -> tuple[float, float]:
+    """(slope, adjusted R²) of OLS of IOE stddevs on thresholds
+    (reference model_based.py:1002-1127, fit :225-292)."""
+    stds = ioe_stats(ts, lambda d: np.std(d, ddof=1) if d.size > 1 else np.nan,
+                     step_size=step_size, differentiate=True)
+    stds = stds[np.isfinite(stds)]
+    m = stds.size
+    if m < 3:
+        return np.nan, np.nan
+    t = np.arange(m, dtype=float)
+    X = np.column_stack([np.ones(m), t])
+    beta, _, resid = _ols(X, stds)
+    ss_res = float(resid @ resid)
+    ss_tot = float(((stds - stds.mean()) ** 2).sum())
+    if ss_tot <= 0:
+        return float(beta[1]), np.nan
+    r2 = 1 - ss_res / ss_tot
+    adj = 1 - (1 - r2) * (m - 1) / (m - 2)
+    return float(beta[1]), float(adj)
+
+
+# ---------------------------------------------------------------------------
+# Embedding family (reference: _embed.py + general.py)
+# ---------------------------------------------------------------------------
+
+def emb_lag(ts: np.ndarray, max_nlags: int | None = None) -> int:
+    """Embedding lag via first nonpos ACF (reference default criterion,
+    general.py:1528-1612 / _embed.py:346-455)."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    if max_nlags is None:
+        max_nlags = max(1, n // 2)
+    a = acf(x, nlags=max_nlags, adjusted=True)
+    v = first_acf_nonpos(a)
+    return int(v) if np.isfinite(v) else 1
+
+
+def cao_e1_e2(ts: np.ndarray, lag: int = 1, dims: int = 16,
+              max_n: int = 512) -> tuple[np.ndarray, np.ndarray]:
+    """Cao's E1/E2 embedding-dimension statistics (reference
+    _embed.py:229-343; Cao 1997 construction): Chebyshev
+    nearest-neighbor ratios across consecutive dimensions."""
+    x = np.asarray(ts, dtype=float)
+    if x.size > max_n:
+        x = x[-max_n:]
+    sd = x.std(ddof=0)
+    x = (x - x.mean()) / sd if sd > 0 else x - x.mean()
+    e_vals, estar_vals = [], []
+    for d in range(1, dims + 1):
+        emb_d = _embed(x, d, lag)
+        emb_d1 = _embed(x, d + 1, lag)
+        m = emb_d1.shape[0]
+        if m < 3:
+            break
+        a = emb_d[:m]
+        dist = np.max(np.abs(a[:, None, :] - a[None, :, :]), axis=2)
+        np.fill_diagonal(dist, np.inf)
+        nn = np.argmin(dist, axis=1)
+        dn = dist[np.arange(m), nn]
+        dn = np.where(dn == 0, 1e-12, dn)
+        dist_d1 = np.max(np.abs(emb_d1 - emb_d1[nn]), axis=1)
+        e_vals.append(float(np.mean(dist_d1 / dn)))
+        estar_vals.append(float(np.mean(np.abs(x[(d) * lag:][:m] - x[(d) * lag:][nn]))))
+    e = np.asarray(e_vals)
+    estar = np.asarray(estar_vals)
+    e1 = e[1:] / e[:-1] if e.size > 1 else np.array([np.nan])
+    e2 = estar[1:] / estar[:-1] if estar.size > 1 else np.array([np.nan])
+    return e1, e2
+
+
+def emb_dim_cao(ts: np.ndarray, lag: int = 1, dims: int = 16,
+                threshold: float = 0.95) -> float:
+    """Embedding dimension: first d where E1 exceeds threshold
+    (general.py:1615-1752)."""
+    e1, _ = cao_e1_e2(ts, lag, dims)
+    idx = np.flatnonzero(e1 >= threshold)
+    return float(idx[0] + 1) if idx.size else float(dims)
+
+
+def fnn_prop(ts: np.ndarray, lag: int = 1, dims: int = 8,
+             rtol: float = 10.0, atol: float = 2.0,
+             max_n: int = 512) -> np.ndarray:
+    """False-nearest-neighbor proportion per dimension (reference
+    _embed.py:93-226; Kennel et al. 1992 criteria)."""
+    x = np.asarray(ts, dtype=float)
+    if x.size > max_n:
+        x = x[-max_n:]
+    sd_all = x.std(ddof=0)
+    out = []
+    for d in range(1, dims + 1):
+        emb_d = _embed(x, d, lag)
+        nxt = _embed(x, d + 1, lag)
+        m = nxt.shape[0]
+        if m < 3:
+            out.append(np.nan)
+            continue
+        a = emb_d[:m]
+        dist = np.sqrt(((a[:, None, :] - a[None, :, :]) ** 2).sum(axis=2))
+        np.fill_diagonal(dist, np.inf)
+        nn = np.argmin(dist, axis=1)
+        rd = dist[np.arange(m), nn]
+        rd = np.where(rd == 0, 1e-12, rd)
+        new_coord = np.abs(nxt[:, 0] - nxt[nn, 0])
+        crit1 = new_coord / rd > rtol
+        rdd1 = np.sqrt(rd**2 + new_coord**2)
+        crit2 = rdd1 / (sd_all if sd_all > 0 else 1.0) > atol
+        out.append(float(np.mean(crit1 | crit2)))
+    return np.asarray(out)
+
+
+def force_potential(ts: np.ndarray, potential: str = "sine",
+                    params: tuple[float, float, float] = (1.0, 1.0, 0.1),
+                    start_point: tuple[float, float] | None = None) -> np.ndarray:
+    """Leapfrog particle driven by the series in a sine/double-well
+    potential (general.py:1387-1475): returns the particle path."""
+    x = np.asarray(ts, dtype=float)
+    sd = x.std(ddof=0)
+    xs = (x - x.mean()) / sd if sd > 0 else x - x.mean()
+    alpha, fric, dt = params
+    if potential == "sine":
+        force = lambda p: -alpha * np.sin(p / alpha)
+    else:  # dblwell
+        force = lambda p: -4 * p**3 + alpha * alpha * 2 * p
+    n = xs.size
+    pos = np.empty(n)
+    p = xs[0] if start_point is None else start_point[0]
+    v = 0.0 if start_point is None else start_point[1]
+    for i in range(n):
+        a = force(p) + xs[i] - fric * v
+        v = v + dt * a
+        p = p + dt * v
+        pos[i] = p
+        if not np.isfinite(p):
+            pos[i:] = np.nan
+            break
+    return pos
+
+
+def surprise(ts: np.ndarray, num_bins: int = 10, memory_size: float = 0.1,
+             num_it: int = 128, strategy: str = "distribution",
+             random_state: int | None = None) -> np.ndarray:
+    """ft_surprise (info_theory.py:991-1166): −log P(bin(value) | recent
+    memory) at randomly sampled reference points, equiprobable binning."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    mem = max(1, int(np.ceil(memory_size * n)))
+    # equiprobable discretization
+    ranks = np.argsort(np.argsort(x, kind="stable"), kind="stable")
+    sym = (ranks * num_bins // n).astype(int)
+    if random_state is not None:
+        np.random.seed(random_state)
+    pool = np.arange(mem, n)
+    inds = np.random.choice(pool, size=min(num_it, pool.size), replace=False)
+    out = np.empty(inds.size)
+    for j, i in enumerate(inds):
+        window = sym[i - mem : i]
+        if strategy == "distribution":
+            p = np.mean(window == sym[i])
+        else:  # "1-transition"
+            prev = sym[i - 1]
+            mask = window[:-1] == prev
+            p = np.mean(window[1:][mask] == sym[i]) if mask.any() else 0.0
+        out[j] = -math.log(p) if p > 0 else np.nan
+    return out
+
+
+def moving_kldiv(ts: np.ndarray, window_size: float = 0.1,
+                 num_bins: int = 10) -> np.ndarray:
+    """KL divergence of adjacent windows' histograms
+    (local_stats.py:1281-1448), density-normalized, nan where undefined."""
+    x = np.asarray(ts, dtype=float)
+    sd = x.std(ddof=0)
+    xs = (x - x.mean()) / sd if sd > 0 else x - x.mean()
+    w = _win_size(xs.size, window_size)
+    if xs.size < 2 * w:
+        return np.array([np.nan])
+    lo, hi = xs.min(), xs.max()
+    bins = np.linspace(lo, hi, num_bins + 1)
+    out = []
+    for i in range(xs.size - 2 * w + 1):
+        a = xs[i : i + w]
+        b = xs[i + w : i + 2 * w]
+        pa, _ = np.histogram(a, bins=bins, density=True)
+        pb, _ = np.histogram(b, bins=bins, density=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = pb * np.log(pb / pa)
+        valid = np.isfinite(terms)
+        out.append(float(terms[valid].sum()) if valid.any() else np.nan)
+    return np.asarray(out)
+
+
+def moving_lilliefors(ts: np.ndarray, window_size: float = 0.1) -> np.ndarray:
+    """Rolling Lilliefors normality statistic (local_stats.py:1451-1525)."""
+    x = np.asarray(ts, dtype=float)
+    w = _win_size(x.size, window_size)
+    if x.size < w:
+        return np.array([np.nan])
+    wins = _rolling_windows(x, w)
+    return np.asarray([lilliefors_stat(win) for win in wins])
+
+
+def peak_trough_frac(ts: np.ndarray, period: int, which: str = "peak") -> float:
+    """ft_peak_frac / ft_trough_frac (general.py:855-992): mode of the
+    argmax/argmin position within each full seasonal period, as a
+    fraction of the period."""
+    x = np.asarray(ts, dtype=float)
+    p = int(period)
+    if p < 2 or x.size < 2 * p:
+        return np.nan
+    m = x.size // p
+    chunks = x[: m * p].reshape(m, p)
+    pos = np.argmax(chunks, axis=1) if which == "peak" else np.argmin(chunks, axis=1)
+    counts = np.bincount(pos, minlength=p)
+    return float(np.argmax(counts)) / p
+
+
+# ---------------------------------------------------------------------------
+# Chaos / nonlinear dynamics (reference: global_stats.py via nolds)
+# ---------------------------------------------------------------------------
+
+def corr_dim(ts: np.ndarray, emb_dim: int = 2, lag: int = 1,
+             max_n: int = 512) -> float:
+    """Grassberger-Procaccia correlation dimension (nolds ``corr_dim``
+    approach, global_stats.py:770-807): slope of log C(r) vs log r over
+    log-spaced radii of pairwise embedding distances."""
+    x = np.asarray(ts, dtype=float)
+    if x.size > max_n:
+        x = x[-max_n:]
+    sd = x.std(ddof=0)
+    if sd == 0:
+        return np.nan
+    x = (x - x.mean()) / sd
+    emb = _embed(x, emb_dim, lag)
+    m = emb.shape[0]
+    if m < 16:
+        return np.nan
+    d = np.sqrt(((emb[:, None, :] - emb[None, :, :]) ** 2).sum(axis=2))
+    iu = np.triu_indices(m, k=1)
+    dists = d[iu]
+    dists = dists[dists > 0]
+    if dists.size < 16:
+        return np.nan
+    rs = np.logspace(
+        np.log10(np.percentile(dists, 3)), np.log10(np.percentile(dists, 50)), 12
+    )
+    cs = np.array([np.mean(dists < r) for r in rs])
+    ok = cs > 0
+    if ok.sum() < 3:
+        return np.nan
+    coef = np.polyfit(np.log(rs[ok]), np.log(cs[ok]), 1)
+    return float(coef[0])
+
+
+def max_lyap(ts: np.ndarray, emb_dim: int = 10, lag: int = 1,
+             min_tsep: int | None = None, trajectory_len: int = 20,
+             max_n: int = 512) -> float:
+    """Largest Lyapunov exponent, Rosenstein et al. (1993) method
+    (nolds ``lyap_r`` approach, global_stats.py:644-688): mean log
+    divergence of nearest trajectories vs time, least-squares slope."""
+    x = np.asarray(ts, dtype=float)
+    if x.size > max_n:
+        x = x[-max_n:]
+    sd = x.std(ddof=0)
+    if sd == 0:
+        return np.nan
+    x = (x - x.mean()) / sd
+    emb = _embed(x, emb_dim, lag)
+    m = emb.shape[0]
+    if min_tsep is None:
+        min_tsep = max(1, m // 10)
+    if m < min_tsep + trajectory_len + 2:
+        return np.nan
+    d = np.sqrt(((emb[:, None, :] - emb[None, :, :]) ** 2).sum(axis=2))
+    idx = np.arange(m)
+    band = np.abs(idx[:, None] - idx[None, :]) <= min_tsep
+    d[band] = np.inf
+    nn = np.argmin(d, axis=1)
+    usable = m - trajectory_len
+    logs = []
+    for k in range(trajectory_len):
+        i = np.arange(usable)
+        j = nn[:usable]
+        valid = j + k < m
+        di = np.sqrt(((emb[i[valid] + k] - emb[j[valid] + k]) ** 2).sum(axis=1))
+        di = di[di > 0]
+        if di.size == 0:
+            logs.append(np.nan)
+        else:
+            logs.append(float(np.mean(np.log(di))))
+    logs = np.asarray(logs)
+    ok = np.isfinite(logs)
+    if ok.sum() < 3:
+        return np.nan
+    coef = np.polyfit(np.arange(trajectory_len)[ok], logs[ok], 1)
+    return float(coef[0])
+
+
+def ami_curvature(ts: np.ndarray, noise_range=(0.0, 3.0), num_noise: int = 10,
+                  lag: int = 1, num_bins: int = 64,
+                  random_state: int | None = None) -> float:
+    """ft_ami_curvature (info_theory.py:625-761): OLS slope of AMI(lag)
+    of the series under iteratively amplified gaussian noise."""
+    x = np.asarray(ts, dtype=float)
+    sd = x.std(ddof=0)
+    xs = (x - x.mean()) / sd if sd > 0 else x - x.mean()
+    if random_state is not None:
+        np.random.seed(random_state)
+    noise = np.random.randn(xs.size)
+    scales = np.linspace(*noise_range, num_noise)
+    amis = np.array([
+        ami(xs + s * noise, [lag], num_bins=num_bins)[0] for s in scales
+    ])
+    X = np.column_stack([np.ones(num_noise), scales])
+    beta, *_ = np.linalg.lstsq(X, amis, rcond=None)
+    return float(beta[1])
+
+
+def pred_dvv(ts: np.ndarray, emb_dim: int = 3, lag: int = 1,
+             num_spans: int = 10, max_n: int = 400) -> np.ndarray:
+    """ft_pred delay-vector-variance predictability (general.py:546-699):
+    mean variance of targets whose delay vectors fall within growing
+    distance spans, normalized by series variance."""
+    x = np.asarray(ts, dtype=float)
+    if x.size > max_n:
+        x = x[-max_n:]
+    sd = x.std(ddof=0)
+    if sd == 0:
+        return np.array([np.nan])
+    xs = (x - x.mean()) / sd
+    emb = _embed(xs, emb_dim, lag)
+    m = emb.shape[0] - 1
+    if m < 8:
+        return np.array([np.nan])
+    past = emb[:m]
+    target = xs[(emb_dim - 1) * lag + 1 : (emb_dim - 1) * lag + 1 + m]
+    d = np.sqrt(((past[:, None, :] - past[None, :, :]) ** 2).sum(axis=2))
+    iu = np.triu_indices(m, 1)
+    mu, sdd = d[iu].mean(), d[iu].std(ddof=0)
+    spans = np.linspace(max(1e-6, mu - 2 * sdd), mu + 2 * sdd, num_spans)
+    out = np.empty(num_spans)
+    for i, r in enumerate(spans):
+        variances = []
+        for j in range(m):
+            mask = d[j] <= r
+            if mask.sum() > 2:
+                variances.append(target[mask].var(ddof=1))
+        out[i] = float(np.mean(variances)) if variances else np.nan
+    return out

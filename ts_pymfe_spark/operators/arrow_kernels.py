@@ -115,6 +115,98 @@ FEATURE_KERNELS.update(
     }
 )
 
+# stat tests, model-based, embedding, chaos, remaining local/info ops
+def _decomp_part(x, part):
+    trend, season, resid = K.decompose(x)
+    return {"trend": trend, "season": season, "resid": resid}[part]
+
+
+FEATURE_KERNELS.update(
+    {
+        # stat tests (reference stat_tests.py)
+        "test_adf": K.adf_stat,
+        "test_adf_p": lambda x: K.adf_pvalue_approx(K.adf_stat(x)),
+        "test_kpss": K.kpss_stat,
+        "test_earch": lambda x: np.array(K.arch_lm_stat(x)),
+        "test_lilliefors": lambda x: K.lilliefors_stat(x, "norm"),
+        "test_lilliefors_exp": lambda x: K.lilliefors_stat(x, "exp"),
+        # model-based (reference model_based.py)
+        "des_level": lambda x: K.des_params(x)[0],
+        "des_trend": lambda x: K.des_params(x)[1],
+        "ets_level": lambda x: K.ets_params(x, K.ts_period(x))[0],
+        "ets_trend": lambda x: K.ets_params(x, K.ts_period(x))[1],
+        "ets_season": lambda x: K.ets_params(x, K.ts_period(x))[2],
+        "linearity": lambda x: K.orthopoly_features(K.decompose(x)[0])[0],
+        "curvature": lambda x: K.orthopoly_features(K.decompose(x)[0])[1],
+        "avg_cycle_period": K.ar2_cycle_period,
+        "ioe_std_slope": lambda x: K.ioe_std_linreg(x)[0],
+        "ioe_std_adj_r_sqr": lambda x: K.ioe_std_linreg(x)[1],
+        # embedding / chaos (reference _embed.py, general.py, global_stats.py)
+        "emb_lag": lambda x: float(K.emb_lag(x)),
+        "emb_dim_cao": K.emb_dim_cao,
+        "cao_e1": lambda x: K.cao_e1_e2(x)[0],
+        "cao_e2": lambda x: K.cao_e1_e2(x)[1],
+        "fnn_prop": K.fnn_prop,
+        "corr_dim": K.corr_dim,
+        "exp_max_lyap": K.max_lyap,
+        "exp_hurst": K.hurst_rs,
+        "pred": K.pred_dvv,
+        # remaining general / local / info ops
+        "walker_path": lambda x: K.walker_path(x),
+        "force_potential_mean": lambda x: float(
+            np.nanmean(K.force_potential(x))
+        ),
+        "moving_kldiv": K.moving_kldiv,
+        "moving_lilliefors": K.moving_lilliefors,
+        "peak_frac": lambda x: K.peak_trough_frac(x, K.ts_period(x), "peak"),
+        "trough_frac": lambda x: K.peak_trough_frac(x, K.ts_period(x), "trough"),
+        "sd_residuals": lambda x: float(np.std(K.decompose(x)[2], ddof=1)),
+        "skewness_residuals": lambda x: _skew_m3_arr(K.decompose(x)[2]),
+        "kurtosis_residuals": lambda x: _kurt_m3_arr(K.decompose(x)[2]),
+        "sd_diff": lambda x: float(np.std(np.diff(x), ddof=1)),
+        "skewness_diff": lambda x: _skew_m3_arr(np.diff(x)),
+        "kurtosis_diff": lambda x: _kurt_m3_arr(np.diff(x)),
+        # seasonal diff ts[p:] − ts[:-p] (global_stats.py:276,454,636)
+        "sd_sdiff": lambda x: float(
+            np.std(x[K.ts_period(x):] - x[: -K.ts_period(x)], ddof=1)
+        ),
+        "hist_ent_out_diff": lambda x: _hist_ent_out_diff(x),
+        "acf_detrended": lambda x: K.acf(
+            x - K._trend_ma(x), nlags=min(16, x.size - 2)
+        ),
+        "acf_diff": lambda x: K.acf(np.diff(x), nlags=min(16, x.size - 3)),
+        "pacf_detrended": lambda x: K.pacf_ols(
+            x - K._trend_ma(x), nlags=max(1, 1 + x.size // 10)
+        ),
+        "pacf_diff": lambda x: K.pacf_ols(
+            np.diff(x), nlags=max(1, 1 + x.size // 10)
+        ),
+        "ami_detrended": lambda x: K.ami(x - K._trend_ma(x), lags=[1, 2, 3, 4]),
+    }
+)
+
+
+def _skew_m3_arr(v: np.ndarray) -> float:
+    from ts_pymfe_spark.functions.summaries import SUMMARY_FUNCS
+
+    return float(SUMMARY_FUNCS["skewness"](v))
+
+
+def _kurt_m3_arr(v: np.ndarray) -> float:
+    from ts_pymfe_spark.functions.summaries import SUMMARY_FUNCS
+
+    return float(SUMMARY_FUNCS["kurtosis"](v))
+
+
+def _hist_ent_out_diff(x: np.ndarray, p: float = 0.05) -> float:
+    """entropy(full) − entropy(5%-trimmed) (info_theory.py:258-316)."""
+    lo, hi = np.quantile(x, [p, 1 - p])
+    inner = x[(x >= lo) & (x <= hi)]
+    if inner.size < 2:
+        return np.nan
+    return K.hist_entropy(x) - K.hist_entropy(inner)
+
+
 #: seeded Monte-Carlo features: callable(x, seed) — the engine derives
 #: seed per (conv_id, feature) so results are deterministic under any
 #: repartitioning (SURVEY §2.10 determinism contract)
@@ -150,6 +242,13 @@ SEEDED_FEATURE_KERNELS: dict[str, Callable] = {
     "surr_tc3": lambda x, seed: K.surrogate_stat(
         x, K.tc3_stat, surrogate_num=32, random_state=seed
     ) - K.tc3_stat(x),
+    "ami_curvature": lambda x, seed: K.ami_curvature(x, random_state=seed),
+    "surprise_distribution": lambda x, seed: K.surprise(
+        x, strategy="distribution", random_state=seed
+    ),
+    "surprise_transition": lambda x, seed: K.surprise(
+        x, strategy="1-transition", random_state=seed
+    ),
 }
 
 
