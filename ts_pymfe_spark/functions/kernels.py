@@ -1249,30 +1249,36 @@ def force_potential(ts: np.ndarray, potential: str = "sine",
 
 def surprise(ts: np.ndarray, num_bins: int = 10, memory_size: float = 0.1,
              num_it: int = 128, strategy: str = "distribution",
+             diff_order: int = 1, epsilon: float = 1e-10,
              random_state: int | None = None) -> np.ndarray:
     """ft_surprise (info_theory.py:991-1166): −log P(bin(value) | recent
-    memory) at randomly sampled reference points, equiprobable binning."""
-    x = np.asarray(ts, dtype=float)
+    memory) of the DIFFERENCED series at randomly sampled reference
+    points, equiprobable binning; zero probabilities map to surprise 0
+    (reference: ``probs[probs < epsilon] = 1.0``)."""
+    x = np.diff(np.asarray(ts, dtype=float), n=diff_order)
     n = x.size
-    mem = max(1, int(np.ceil(memory_size * n)))
-    # equiprobable discretization
+    mem = max(2, int(np.ceil(memory_size * n)))
+    # equiprobable discretization (_utils.discretize 'equiprobable')
     ranks = np.argsort(np.argsort(x, kind="stable"), kind="stable")
     sym = (ranks * num_bins // n).astype(int)
     if random_state is not None:
         np.random.seed(random_state)
-    pool = np.arange(mem, n)
-    inds = np.random.choice(pool, size=min(num_it, pool.size), replace=False)
-    out = np.empty(inds.size)
+    if n - mem > num_it:
+        inds = mem + np.random.choice(n - mem, size=num_it, replace=False)
+    else:
+        inds = np.arange(mem, n)
+    probs = np.zeros(inds.size)
     for j, i in enumerate(inds):
         window = sym[i - mem : i]
         if strategy == "distribution":
-            p = np.mean(window == sym[i])
-        else:  # "1-transition"
-            prev = sym[i - 1]
-            mask = window[:-1] == prev
-            p = np.mean(window[1:][mask] == sym[i]) if mask.any() else 0.0
-        out[j] = -math.log(p) if p > 0 else np.nan
-    return out
+            probs[j] = np.mean(window == sym[i])
+        else:  # "1-transition": matches of the memory's last value
+            prev = window[-1]
+            hits = np.flatnonzero(window[:-1] == prev)
+            eq = window[hits + 1] == sym[i]
+            probs[j] = np.mean(eq) if eq.size else 0.0
+    probs[probs < epsilon] = 1.0
+    return -np.log(probs)
 
 
 def moving_kldiv(ts: np.ndarray, window_size: float = 0.1,
@@ -1457,3 +1463,167 @@ def pred_dvv(ts: np.ndarray, emb_dim: int = 3, lag: int = 1,
                 variances.append(target[mask].var(ddof=1))
         out[i] = float(np.mean(variances)) if variances else np.nan
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-process regression (numpy stand-in for sklearn
+# GaussianProcessRegressor(default RBF kernel, alpha=1e-10) used at
+# _utils.py:216-245; length-scale by log-marginal-likelihood search)
+# ---------------------------------------------------------------------------
+
+def _rbf_k(a: np.ndarray, b: np.ndarray, ls: float) -> np.ndarray:
+    d2 = (a[:, None] - b[None, :]) ** 2
+    return np.exp(-0.5 * d2 / (ls * ls))
+
+
+def gp_fit_predict(ts: np.ndarray, alpha: float = 1e-10,
+                   max_n: int = 512) -> tuple[np.ndarray, np.ndarray]:
+    """Fit GP(RBF) on (linspace(0,1,n), zscore(ts)); return
+    (ts_scaled, predictions).  Length-scale selected by golden-section
+    on the log marginal likelihood (sklearn optimizes the same
+    objective with L-BFGS)."""
+    x = np.asarray(ts, dtype=float)
+    if x.size > max_n:
+        x = x[-max_n:]
+    sd = x.std(ddof=0)
+    y = (x - x.mean()) / sd if sd > 0 else x - x.mean()
+    n = y.size
+    t = np.linspace(0, 1, n)
+
+    def nll(log_ls: float) -> float:
+        ls = math.exp(log_ls)
+        K = _rbf_k(t, t, ls) + alpha * np.eye(n)
+        try:
+            L = np.linalg.cholesky(K)
+        except np.linalg.LinAlgError:
+            return np.inf
+        a_ = np.linalg.solve(L.T, np.linalg.solve(L, y))
+        return float(0.5 * y @ a_ + np.log(np.diag(L)).sum())
+
+    gr = (math.sqrt(5) - 1) / 2
+    a_b = [-6.0, 2.0]
+    c = a_b[1] - gr * (a_b[1] - a_b[0])
+    d = a_b[0] + gr * (a_b[1] - a_b[0])
+    fc, fd = nll(c), nll(d)
+    for _ in range(40):
+        if fc < fd:
+            a_b[1], d, fd = d, c, fc
+            c = a_b[1] - gr * (a_b[1] - a_b[0])
+            fc = nll(c)
+        else:
+            a_b[0], c, fc = c, d, fd
+            d = a_b[0] + gr * (a_b[1] - a_b[0])
+            fd = nll(d)
+    ls = math.exp((a_b[0] + a_b[1]) / 2)
+    K = _rbf_k(t, t, ls) + alpha * np.eye(n)
+    try:
+        coef = np.linalg.solve(K, y)
+    except np.linalg.LinAlgError:
+        return y, np.full(n, np.nan)
+    pred = _rbf_k(t, t, ls) @ coef
+    return y, pred
+
+
+def gresid(ts: np.ndarray) -> np.ndarray:
+    """GP residuals (reference fit_gaussian_process(return_residuals))."""
+    y, pred = gp_fit_predict(ts)
+    return y - pred
+
+
+def gaussian_r_sqr(ts: np.ndarray) -> float:
+    """ft_gaussian_r_sqr (model_based.py:943-999): GP model R²."""
+    y, pred = gp_fit_predict(ts)
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    return 1.0 - ss_res / ss_tot if ss_tot > 0 else np.nan
+
+
+# ---------------------------------------------------------------------------
+# Unit-root test variants (reference stat_tests.py via arch)
+# ---------------------------------------------------------------------------
+
+def dfgls_stat(ts: np.ndarray) -> float:
+    """DF-GLS (Elliott-Rothenberg-Stock): GLS-demean with
+    c̄ = −7 (constant case), then ADF regression without constant on the
+    detrended series (arch.unitroot.DFGLS construction,
+    stat_tests.py:226-279)."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    if n < 16:
+        return np.nan
+    cbar = -7.0
+    a = 1.0 + cbar / n
+    # quasi-difference
+    zy = np.concatenate([[x[0]], x[1:] - a * x[:-1]])
+    zx = np.concatenate([[1.0], np.full(n - 1, 1.0 - a)])
+    delta = float(zx @ zy) / float(zx @ zx)
+    xd = x - delta
+    max_lags = min(int(np.ceil(12.0 * (n / 100.0) ** 0.25)), n // 2 - 2)
+    d = np.diff(xd)
+    k = max_lags
+    rows = d.size - k
+    y = d[k:]
+    cols = [xd[k:-1]]
+    for i in range(1, k + 1):
+        cols.append(d[k - i : d.size - i])
+    X = np.column_stack(cols)
+    beta, se, _ = _ols(X, y)
+    return float(beta[0] / se[0]) if se[0] > 0 else np.nan
+
+
+def pp_stat(ts: np.ndarray) -> float:
+    """Phillips-Perron Z-tau (constant case): OLS x_t on [1, x_{t−1}],
+    Newey-West long-run variance correction of the t-statistic
+    (arch.unitroot.PhillipsPerron construction, stat_tests.py:282-329)."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    if n < 16:
+        return np.nan
+    y = x[1:]
+    X = np.column_stack([np.ones(n - 1), x[:-1]])
+    beta, se, e = _ols(X, y)
+    rho_t = (beta[1] - 1.0) / se[1] if se[1] > 0 else np.nan
+    m = n - 1
+    gamma0 = float(e @ e) / m
+    lags = int(np.ceil(12.0 * (m / 100.0) ** 0.25))
+    lam = gamma0
+    for k in range(1, lags + 1):
+        w = 1.0 - k / (lags + 1.0)
+        lam += 2.0 * w * float(e[:-k] @ e[k:]) / m
+    if lam <= 0 or gamma0 <= 0:
+        return np.nan
+    z_tau = (
+        math.sqrt(gamma0 / lam) * rho_t
+        - (lam - gamma0) * m * se[1] / (2.0 * math.sqrt(lam) * math.sqrt(gamma0))
+    )
+    return float(z_tau)
+
+
+def za_stat(ts: np.ndarray, trim: float = 0.15, max_points: int = 256) -> float:
+    """Zivot-Andrews minimum t-statistic over candidate structural
+    breaks in the intercept (model 'c'; arch.unitroot.ZivotAndrews
+    construction, stat_tests.py:383-422).  Series capped for the
+    O(n·breaks) OLS sweep."""
+    x = np.asarray(ts, dtype=float)
+    if x.size > max_points:
+        x = x[-max_points:]
+    n = x.size
+    if n < 24:
+        return np.nan
+    lo, hi = int(trim * n), int((1 - trim) * n)
+    best = np.inf
+    d = np.diff(x)
+    k = min(4, n // 8)
+    rows = d.size - k
+    y = d[k:]
+    base_cols = [np.ones(rows), x[k:-1]]
+    lag_cols = [d[k - i : d.size - i] for i in range(1, k + 1)]
+    t_index = np.arange(k + 1, n)
+    for tb in range(lo, hi):
+        dummy = (t_index > tb).astype(float)
+        X = np.column_stack(base_cols + [dummy] + lag_cols)
+        beta, se, _ = _ols(X, y)
+        if se[1] > 0:
+            t_stat = beta[1] / se[1]
+            best = min(best, t_stat)
+    return float(best) if np.isfinite(best) else np.nan

@@ -217,3 +217,245 @@ def landmark_scores(y: np.ndarray, model: str, period: int | None = None,
         except (ValueError, ZeroDivisionError, np.linalg.LinAlgError):
             out[fold] = np.nan
     return out
+
+
+# ---------------------------------------------------------------------------
+# Smoothing-model forecasters (reference landmarking.py ft_model_ses /
+# ft_model_hwes_ada / ft_model_hwes_adm via statsmodels; here SSE-fit
+# with the deterministic Nelder-Mead from functions/kernels.py)
+# ---------------------------------------------------------------------------
+
+def _m_ses(Xtr, ytr, Xte, period):
+    from ts_pymfe_spark.functions.kernels import nelder_mead
+
+    n = ytr.size
+    if n < 4:
+        raise ValueError("too short")
+
+    def sse(p):
+        a = min(1 - 1e-6, max(1e-6, p[0]))
+        lvl = ytr[0]
+        s = 0.0
+        for t in range(1, n):
+            e = ytr[t] - lvl
+            s += e * e
+            lvl = a * ytr[t] + (1 - a) * lvl
+        return s
+
+    a = min(1 - 1e-6, max(1e-6, nelder_mead(sse, np.array([0.3]))[0]))
+    lvl = ytr[0]
+    for t in range(1, n):
+        lvl = a * ytr[t] + (1 - a) * lvl
+    return np.full(Xte.shape[0], lvl)
+
+
+def _hw_forecast(ytr, h, period, mult):
+    from ts_pymfe_spark.functions.kernels import nelder_mead
+
+    m = int(period) if period else 0
+    n = ytr.size
+    if m < 2 or n < 2 * m + 2:
+        raise ValueError("too short for HW")
+    if mult and np.any(ytr <= 0):
+        raise ValueError("multiplicative seasonality needs positive data")
+    if mult:
+        seas0 = ytr[:m] / max(1e-12, ytr[:m].mean())
+    else:
+        seas0 = ytr[:m] - ytr[:m].mean()
+
+    def run(p, collect=False):
+        a = min(1 - 1e-6, max(1e-6, p[0]))
+        b = min(1 - 1e-6, max(1e-6, p[1]))
+        g = min(1 - 1e-6, max(1e-6, p[2]))
+        lvl = ytr[:m].mean()
+        tr = (ytr[m : 2 * m].mean() - lvl) / m
+        seas = seas0.copy()
+        s = 0.0
+        for t in range(m, n):
+            si = seas[t % m]
+            pred = (lvl + tr) * si if mult else lvl + tr + si
+            e = ytr[t] - pred
+            s += e * e
+            obs_deseason = ytr[t] / max(1e-12, si) if mult else ytr[t] - si
+            new_lvl = a * obs_deseason + (1 - a) * (lvl + tr)
+            tr = b * (new_lvl - lvl) + (1 - b) * tr
+            upd = ytr[t] / max(1e-12, new_lvl) if mult else ytr[t] - new_lvl
+            seas[t % m] = g * upd + (1 - g) * si
+            lvl = new_lvl
+        if collect:
+            out = np.empty(h)
+            for k in range(1, h + 1):
+                si = seas[(n + k - 1) % m]
+                out[k - 1] = (lvl + k * tr) * si if mult else lvl + k * tr + si
+            return out
+        return s
+
+    p = nelder_mead(run, np.array([0.3, 0.05, 0.1]))
+    return run(p, collect=True)
+
+
+def _m_hwes_ada(Xtr, ytr, Xte, period):
+    return _hw_forecast(ytr, Xte.shape[0], period, mult=False)
+
+
+def _m_hwes_adm(Xtr, ytr, Xte, period):
+    return _hw_forecast(ytr, Xte.shape[0], period, mult=True)
+
+
+# ---------------------------------------------------------------------------
+# ARIMA(p,d,q) by conditional sum of squares (reference ft_model_arima_*
+# via statsmodels ARIMA; 7 fixed orders at landmarking.py:1316-1911)
+# ---------------------------------------------------------------------------
+
+def _arima_forecast(ytr, h, p, d, q, const):
+    from ts_pymfe_spark.functions.kernels import nelder_mead
+
+    w = np.diff(ytr, n=d) if d else np.asarray(ytr, dtype=float)
+    n = w.size
+    if n < p + q + 3:
+        raise ValueError("too short for ARIMA order")
+
+    def css(theta, collect=False):
+        phi = theta[:p]
+        th = theta[p : p + q]
+        c = theta[p + q] if const else 0.0
+        e = np.zeros(n)
+        s = 0.0
+        start = max(p, 1)
+        for t in range(start, n):
+            pred = c
+            for i in range(p):
+                pred += phi[i] * w[t - 1 - i]
+            for j in range(q):
+                if t - 1 - j >= 0:
+                    pred += th[j] * e[t - 1 - j]
+            e[t] = w[t] - pred
+            s += e[t] * e[t]
+        if collect:
+            wf = list(w)
+            ef = list(e)
+            out = []
+            for k in range(h):
+                pred = c
+                for i in range(p):
+                    pred += phi[i] * (wf[-1 - i] if i < len(wf) else 0.0)
+                for j in range(q):
+                    idx = len(ef) - 1 - j
+                    # future shocks are zero; only observed residuals count
+                    pred += th[j] * (ef[idx] if idx >= 0 and idx < n else 0.0)
+                wf.append(pred)
+                ef.append(0.0)
+                out.append(pred)
+            return np.asarray(out)
+        return s
+
+    k = p + q + (1 if const else 0)
+    theta = nelder_mead(css, np.full(max(k, 1), 0.1)[: k or 1])
+    if k == 0:
+        theta = np.array([])
+    fw = css(np.pad(theta, (0, max(0, p + q + 1 - theta.size))), collect=True)
+    # integrate differences back
+    if d == 0:
+        return fw
+    last = np.asarray(ytr, dtype=float)
+    for _ in range(d):
+        pass
+    # reconstruct level forecasts by cumulative integration of order d
+    hist = np.asarray(ytr, dtype=float)
+    levels = []
+    if d == 1:
+        prev = hist[-1]
+        for f in fw:
+            prev = prev + f
+            levels.append(prev)
+    else:  # d == 2
+        prev = hist[-1]
+        prev_d = hist[-1] - hist[-2]
+        for f in fw:
+            prev_d = prev_d + f
+            prev = prev + prev_d
+            levels.append(prev)
+    return np.asarray(levels)
+
+
+ARIMA_ORDERS = {
+    # name -> (p, d, q, const)  (orders at landmarking.py:1378-1890)
+    "model_arima_100_c": (1, 0, 0, True),
+    "model_arima_010_c": (0, 1, 0, True),
+    "model_arima_110_c": (1, 1, 0, True),
+    "model_arima_011_nc": (0, 1, 1, False),
+    "model_arima_011_c": (0, 1, 1, True),
+    "model_arima_021_c": (0, 2, 1, True),
+    "model_arima_112_nc": (1, 1, 2, False),
+}
+
+for _name, (_p, _d, _q, _c) in ARIMA_ORDERS.items():
+    MODELS[_name] = (
+        lambda Xtr, ytr, Xte, period, p=_p, d=_d, q=_q, c=_c: _arima_forecast(
+            ytr, Xte.shape[0], p, d, q, c
+        )
+    )
+
+
+def _m_linear_embed(Xtr, ytr, Xte, period):
+    """OLS on a Takens embedding with recursive multi-step forecast
+    (ft_model_linear_embed, landmarking.py:869-1023; dim from Cao)."""
+    from ts_pymfe_spark.functions.kernels import _embed, emb_dim_cao
+
+    n = ytr.size
+    if n < 16:
+        raise ValueError("too short")
+    dim = max(2, min(8, int(emb_dim_cao(ytr, dims=8))))
+    emb = _embed(ytr, dim, 1)
+    X = emb[:-1]
+    y = ytr[dim:]
+    A = np.column_stack([np.ones(X.shape[0]), X])
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    hist = list(ytr)
+    out = []
+    for _ in range(Xte.shape[0]):
+        vec = np.array([hist[-1 - j] for j in range(dim)][::-1])
+        pred = float(beta[0] + beta[1:] @ vec)
+        hist.append(pred)
+        out.append(pred)
+    return np.asarray(out)
+
+
+MODELS.update(
+    {
+        "model_ses": _m_ses,
+        "model_hwes_ada": _m_hwes_ada,
+        "model_hwes_adm": _m_hwes_adm,
+        "model_linear_embed": _m_linear_embed,
+    }
+)
+
+
+def model_error_acf_first_nonpos(y: np.ndarray, model: str,
+                                 period: int | None = None,
+                                 num_cv_folds: int = 5) -> float:
+    """ft_model_{mean,linear}_acf_first_nonpos (landmarking.py:2178-2326,
+    kernel :276-340): first nonpositive-ACF lag of the concatenated CV
+    fold errors."""
+    from ts_pymfe_spark.functions.kernels import acf, first_acf_nonpos
+
+    y = np.asarray(y, dtype=float)
+    n = y.size
+    errors = []
+    model_fn = MODELS[model]
+    X = np.linspace(0.0, 1.0, n)
+    for tr_end, te_s, te_e in ts_splits(n, num_cv_folds):
+        ytr, yte = y[:tr_end], y[te_s:te_e]
+        lo, hi = ytr.min(), ytr.max()
+        span = hi - lo if hi > lo else 1.0
+        try:
+            pred = model_fn(X[:tr_end], (ytr - lo) / span, X[te_s:te_e], period)
+            errors.append((yte - lo) / span - np.asarray(pred).ravel())
+        except (ValueError, ZeroDivisionError, np.linalg.LinAlgError):
+            continue
+    if not errors:
+        return np.nan
+    e = np.concatenate(errors)
+    if e.size < 4:
+        return np.nan
+    return first_acf_nonpos(acf(e, nlags=e.size // 2))

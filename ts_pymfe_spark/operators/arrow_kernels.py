@@ -22,6 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Iterable
 
 import numpy as np
@@ -182,8 +183,153 @@ FEATURE_KERNELS.update(
             np.diff(x), nlags=max(1, 1 + x.size // 10)
         ),
         "ami_detrended": lambda x: K.ami(x - K._trend_ma(x), lags=[1, 2, 3, 4]),
+        # GP-based (numpy RBF GP, kernels.gp_fit_predict)
+        "gaussian_r_sqr": K.gaussian_r_sqr,
+        "gresid_autocorr": lambda x: K.acf(K.gresid(x), nlags=8),
+        "gresid_lbtest": lambda x: K.ljung_box(K.gresid(x), max_lags=8)[1],
+        # unit-root variants (reference stat_tests.py via arch)
+        "test_adf_gls": K.dfgls_stat,
+        "test_pp": K.pp_stat,
+        "test_za": K.za_stat,
+        "test_lb": lambda x: K.ljung_box(x, max_lags=min(16, x.size - 3))[1],
+        # fold-error diagnostics (landmarking.py:2178-2326)
+        "model_mean_acf_first_nonpos": lambda x: LM.model_error_acf_first_nonpos(
+            x, "model_mean"
+        ),
+        "model_linear_acf_first_nonpos": lambda x: LM.model_error_acf_first_nonpos(
+            x, "model_linear"
+        ),
+        # remaining autocorr family
+        "autocorr_crit_pt": lambda x: _acf_crit_points(x),
+        "autocorr_out_dist": lambda x: _acf_out_dist(x),
+        # remaining general/local/info
+        "diff": lambda x: np.diff(x),
+        "bin_mean": lambda x: (x >= x.mean()).astype(float),
+        "frac_cp": lambda x: _frac_cp(x),
+        "t_mean": lambda x: _t_mean(x),
+        "fs_len": lambda x: _fs_len(x),
+        "skewness_sdiff": lambda x: _skew_m3_arr(
+            x[K.ts_period(x):] - x[: -K.ts_period(x)]
+        ),
+        "kurtosis_sdiff": lambda x: _kurt_m3_arr(
+            x[K.ts_period(x):] - x[: -K.ts_period(x)]
+        ),
+        "moving_kldiv_shift": lambda x: np.abs(np.diff(K.moving_kldiv(x))),
+        "moving_approx_ent": lambda x: _moving_approx_ent(x),
+        # full-array variants closing the 149-method inventory
+        "moving_threshold": lambda x: K.moving_threshold(_zscore(x)),
+        "force_potential": lambda x: K.force_potential(x),
+        "gen_autocorr": lambda x: _gen_autocorr(x),
+        "ps_residuals": lambda x: K.periodogram_hamming(K.decompose(x)[2])[1],
+        "model_gaussian": lambda x: _model_gaussian_scores(x),
     }
 )
+
+
+def _gen_autocorr(x: np.ndarray, lag: int = 1, alpha: float = 1.0,
+                  beta: float = 1.0) -> float:
+    """Generalized autocorrelation, exact reference expression incl.
+    its operator precedence (autocorr.py:1001-1006; see also
+    operators/sequence.py gen_autocorr for the SQL form)."""
+    a = np.abs(x[:-lag]) ** alpha
+    b = np.abs(x[lag:]) ** beta
+    ma, mb = a.mean(), b.mean()
+    sda = math.sqrt(max((a * a).mean() - ma * ma, 0.0))
+    sdb = math.sqrt(max((b * b).mean() - mb * mb, 0.0))
+    if sda == 0 or sdb == 0:
+        return np.nan
+    return float((a * b).mean() - ma * mb / (sda * sdb))
+
+
+def _model_gaussian_scores(x: np.ndarray) -> np.ndarray:
+    """ft_model_gaussian (landmarking.py:737-812): GP forecaster under
+    the standard CV pipeline, numpy RBF GP (kernels.gp_fit_predict
+    machinery) as the sklearn stand-in."""
+    from ts_pymfe_spark.functions.landmarking import SCORES, ts_splits
+
+    y = np.asarray(x, dtype=float)
+    n = y.size
+    out = []
+    X = np.linspace(0.0, 1.0, n)
+    for tr_end, te_s, te_e in ts_splits(n, 5):
+        ytr, yte = y[:tr_end], y[te_s:te_e]
+        lo, hi = ytr.min(), ytr.max()
+        span = hi - lo if hi > lo else 1.0
+        ys = (ytr - lo) / span
+        try:
+            t = X[:tr_end]
+            # fixed mid-range length-scale: per-fold MLE search is the
+            # dominant cost; 0.1 on the [0,1] axis matches the scale the
+            # full-series MLE typically selects on these series
+            Kmat = K._rbf_k(t, t, 0.1) + 1e-10 * np.eye(t.size)
+            coef = np.linalg.solve(Kmat, ys)
+            pred = K._rbf_k(X[te_s:te_e], t, 0.1) @ coef
+            out.append(SCORES["rmse"](pred, (yte - lo) / span))
+        except np.linalg.LinAlgError:
+            out.append(np.nan)
+    return np.asarray(out) if out else np.array([np.nan])
+
+
+def _acf_crit_points(x: np.ndarray) -> np.ndarray:
+    """Lags of ACF local minima/maxima (autocorr.py:1011-1086)."""
+    a = K.acf(x, nlags=min(64, x.size - 2))
+    if a.size < 3:
+        return np.array([np.nan])
+    mins = (a[1:-1] < a[:-2]) & (a[1:-1] < a[2:])
+    maxs = (a[1:-1] > a[:-2]) & (a[1:-1] > a[2:])
+    lags = np.flatnonzero(mins | maxs) + 2.0
+    return lags if lags.size else np.array([np.nan])
+
+
+def _acf_out_dist(x: np.ndarray, p: float = 0.8) -> np.ndarray:
+    """|ACF(full) − ACF(inliers |v|<=quantile(|v|,p))| (autocorr.py:1243-1314)."""
+    nl = min(16, x.size - 2)
+    full = K.acf(x, nlags=nl)
+    cut = np.quantile(np.abs(x), p)
+    inl = x[np.abs(x) <= cut]
+    if inl.size < nl + 2:
+        return np.array([np.nan])
+    return np.abs(full - K.acf(inl, nlags=nl))
+
+
+def _frac_cp(x: np.ndarray) -> float:
+    """Median-crossing fraction (general.py:702-766)."""
+    med = np.median(x)
+    below = x <= med
+    return float(np.sum(below[1:] != below[:-1]) / (x.size - 1))
+
+
+def _t_mean(x: np.ndarray, p: float = 0.02) -> float:
+    """scipy trim_mean(0.02) semantics (global_stats.py:848-875)."""
+    n = x.size
+    cut = int(np.floor(n * p))
+    xs = np.sort(x)
+    return float(xs[cut : n - cut].mean()) if n - 2 * cut > 0 else np.nan
+
+
+def _fs_len(x: np.ndarray, num_bins: int = 10) -> np.ndarray:
+    """Run lengths of constant discretized level (general.py:797-852)."""
+    mn, mx = x.min(), x.max()
+    if mx == mn:
+        return np.array([float(x.size)])
+    lvl = np.minimum(((x - mn) / ((mx - mn) / num_bins)).astype(int), num_bins - 1)
+    change = np.flatnonzero(np.diff(lvl) != 0)
+    bounds = np.concatenate([[-1], change, [x.size - 1]])
+    return np.diff(bounds).astype(float)
+
+
+def _moving_approx_ent(x: np.ndarray, window_size: float = 0.1,
+                       max_windows: int = 64) -> np.ndarray:
+    """Rolling approximate entropy (local_stats.py:1528-1621), stride-
+    subsampled to bound the O(n·w²) cost (engine cap, documented)."""
+    w = K._win_size(x.size, window_size)
+    if x.size < w or w < 8:
+        return np.array([np.nan])
+    wins = K._rolling_windows(x, w)
+    stride = max(1, wins.shape[0] // max_windows)
+    return np.asarray(
+        [K.approx_entropy(win, max_n=w) for win in wins[::stride]]
+    )
 
 
 def _skew_m3_arr(v: np.ndarray) -> float:
