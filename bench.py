@@ -143,19 +143,20 @@ def ensure_synth_input() -> str:
     return SYNTH_CACHE
 
 
-def timed_cascade(cpus: int, turns_path: str) -> tuple[float, int]:
+def timed_cascade(cpus: int, turns_path: str, reps: int = 3) -> tuple[float, int]:
     from ts_pymfe_spark.session import get_spark
 
     spark = get_spark(f"bench_c{cpus}", cpus=cpus, shuffle_partitions=cpus)
     # Warm-up run (untimed): JIT-compiles the whole-stage-codegen paths.
     # Without it the C2 compiler competes with all N task threads inside
     # the timed window, which *anti-scales* (32 cores measured 3x slower
-    # than 8 purely from cold-JIT contention).  Steady-state (min of 3)
-    # is what a long-running ingest job sees, so that is what we report.
+    # than 8 purely from cold-JIT contention).  Steady-state (min of
+    # reps) is what a long-running ingest job sees; min-of-N also damps
+    # the +-10% host-CPU variance this shared VM exhibits.
     n = spark.read.parquet(turns_path).count()
     cascade_job(spark, turns_path)
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.perf_counter()
         cascade_job(spark, turns_path)
         dt = min(dt, time.perf_counter() - t0)
@@ -180,9 +181,9 @@ def main() -> None:
         # local[2] vs local[8] (primary; both below this VM's host-
         # contention knee — see BENCH/BASELINE.md), local[32] reported
         # as the saturated upper point.
-        t2, n = timed_cascade(2, path)
-        t8, _ = timed_cascade(8, path)
-        t32, _ = timed_cascade(32, path)
+        t2, n = timed_cascade(2, path, reps=3)
+        t8, _ = timed_cascade(8, path, reps=3)
+        t32, _ = timed_cascade(32, path, reps=2)
         queries["cascade_input_turns"] = n
         for c, t in ((2, t2), (8, t8), (32, t32)):
             queries[f"cascade_local{c}_sec"] = round(t, 3)
