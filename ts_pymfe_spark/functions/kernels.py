@@ -20,6 +20,28 @@ import numpy as np
 # ACF / PACF / period  (reference: autocorr.py, _period.py)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Per-series memo cache — the reference's precompute-cache idea
+# (_internal.py:1158-1331) inside the kernel layer: ts_period/decompose/
+# acf are consumed by a dozen features each; memoizing on the series
+# bytes computes them once per series per worker.  Bounded (8 entries)
+# so Arrow workers stay memory-flat.
+# ---------------------------------------------------------------------------
+
+_MEMO: dict = {}
+_MEMO_MAX = 8
+
+
+def _memo(key, fn):
+    if key in _MEMO:
+        return _MEMO[key]
+    val = fn()
+    if len(_MEMO) >= _MEMO_MAX:
+        _MEMO.pop(next(iter(_MEMO)))
+    _MEMO[key] = val
+    return val
+
+
 def acf(ts: np.ndarray, nlags: int | None = None, adjusted: bool = True) -> np.ndarray:
     """Autocorrelation function, FFT-based, statsmodels semantics
     (``autocorr.py:128-191`` calls statsmodels ``acf(adjusted=True,
@@ -72,7 +94,7 @@ def pacf_ols(ts: np.ndarray, nlags: int, adjusted: bool = True) -> np.ndarray:
     return out
 
 
-def ts_period(ts: np.ndarray) -> int:
+def _ts_period_raw(ts: np.ndarray) -> int:
     """Dominant period (reference ``_period.py:14-45``): detrend first
     (reference: SuperSmoother residuals; here: centered-MA residuals —
     same role, documented divergence since supersmoother is
@@ -134,7 +156,7 @@ def first_local_min(arr: np.ndarray) -> float:
 # statsmodels/supersmoother are unavailable in this environment)
 # ---------------------------------------------------------------------------
 
-def decompose(ts: np.ndarray, period: int | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _decompose_raw(ts: np.ndarray, period: int | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(trend, season, resid) additive decomposition.
 
     trend: centered moving average (window = period if >1 else
@@ -161,6 +183,17 @@ def decompose(ts: np.ndarray, period: int | None = None) -> tuple[np.ndarray, np
         season = np.zeros(n)
     resid = x - trend - season
     return trend, season, resid
+
+
+def ts_period(ts: np.ndarray) -> int:
+    x = np.asarray(ts, dtype=float)
+    return _memo(("period", x.tobytes()), lambda: _ts_period_raw(x))
+
+
+def decompose(ts: np.ndarray, period: int | None = None):
+    x = np.asarray(ts, dtype=float)
+    return _memo(("decomp", x.tobytes(), period), lambda: _decompose_raw(x, period))
+
 
 
 # ---------------------------------------------------------------------------
