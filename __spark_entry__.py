@@ -134,10 +134,10 @@ def q_rollup_1h_cascade(spark, sf_dir):
              s4/n - 4*(s1/n)*(s3/n) + 6*pow(s1/n,2)*(s2/n) - 3*pow(s1/n,4) AS m4,
              (s2 - s1*s1/n)/(n-1) AS var_s
       FROM m)
-    SELECT conv_id, bucket, n, round(mu, 6) AS mean_v,
-           round(sqrt(greatest(var_s, 0)), 6) AS sd_v,
-           round(m3/pow(m2,1.5) * pow((n-1.0)/n, 1.5), 5) AS skew_v,
-           round(m4/(m2*m2) * pow(1 - 1.0/n, 2) - 3, 5) AS kurt_v
+    SELECT conv_id, bucket, n, round(mu, 6) + 0.0 AS mean_v,
+           round(sqrt(greatest(var_s, 0)), 6) + 0.0 AS sd_v,
+           round(m3/pow(m2,1.5) * pow((n-1.0)/n, 1.5), 5) + 0.0 AS skew_v,
+           round(m4/(m2*m2) * pow(1 - 1.0/n, 2) - 3, 5) + 0.0 AS kurt_v
     FROM c WHERE n > 1 AND m2 > 0
     """,
 )
@@ -147,14 +147,15 @@ def q_tier_stats_1d(spark, sf_dir):
         F.col("bucket_start").cast("string").alias("bucket"),
         *stat_columns(),
     )
+    z = F.lit(0.0)  # +0.0 flushes IEEE -0.0 so the driver's value-hash is stable
     return d.filter(F.col("skewness").isNotNull()).select(
         "conv_id",
         "bucket",
         F.col("count").alias("n"),
-        r(F.col("mean")).alias("mean_v"),
-        r(F.col("sd")).alias("sd_v"),
-        r(F.col("skewness"), 5).alias("skew_v"),
-        r(F.col("kurtosis"), 5).alias("kurt_v"),
+        (r(F.col("mean")) + z).alias("mean_v"),
+        (r(F.col("sd")) + z).alias("sd_v"),
+        (r(F.col("skewness"), 5) + z).alias("skew_v"),
+        (r(F.col("kurtosis"), 5) + z).alias("kurt_v"),
     )
 
 
@@ -466,7 +467,8 @@ def q_t_mean(spark, sf_dir):
              lead(value) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nx
       FROM s)
     SELECT conv_id,
-           sum(CASE WHEN (value - p) * (nx - value) < 0 THEN 1 ELSE 0 END) AS n_tp,
+           CAST(sum(CASE WHEN (value - p) * (nx - value) < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tp,
            round(avg(CASE WHEN (value - p) * (nx - value) < 0 THEN 1.0 ELSE 0.0 END), 6)
              AS tp_frac
     FROM t WHERE p IS NOT NULL AND nx IS NOT NULL
@@ -496,7 +498,8 @@ def q_turning_points(spark, sf_dir):
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sd
       FROM s)
     SELECT conv_id,
-           sum(CASE WHEN abs(value - mu) > 2 * sd THEN 1 ELSE 0 END) AS n_sc
+           CAST(sum(CASE WHEN abs(value - mu) > 2 * sd THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sc
     FROM t WHERE sd IS NOT NULL GROUP BY conv_id
     """,
 )
@@ -694,8 +697,8 @@ def q_dw_stat(spark, sf_dir):
              obs IS NULL AS is_gap
       FROM f)
     SELECT conv_id, count(*) AS n_buckets,
-           sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS n_gaps,
-           round(sum(value), 3) AS total
+           CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           round(sum(value), 3) + 0.0 AS total
     FROM filled GROUP BY conv_id
     """,
 )
@@ -712,7 +715,7 @@ def q_gapfill_1m(spark, sf_dir):
     return g.groupBy("conv_id").agg(
         F.count("*").alias("n_buckets"),
         F.sum(F.col("is_gap").cast("long")).alias("n_gaps"),
-        r(F.sum("value"), 3).alias("total"),
+        (r(F.sum("value"), 3) + F.lit(0.0)).alias("total"),
     )
 
 
@@ -836,34 +839,198 @@ def q_jaccard_pairs(spark, sf_dir):
     return p.select("doc_a", "doc_b", r(F.col("jaccard")).alias("jaccard"))
 
 
-# rows-only (no practical ANSI-SQL oracle): LSH candidate generation is
-# seeded/banded; the exact-jaccard query above is its verification pair.
-@register("minhash_lsh_candidates", None)
+# Minhash/LSH is deterministic md5 arithmetic, so it IS SQL-expressible:
+# the oracle recomputes the 16 salted min-md5 signature mins, slices 4
+# bands, and self-joins on the band bucket — exactly the engine plan.
+_MINHASH_SALTS = 16
+_MINHASH_BANDS = 4
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        f"min(md5('salt{i}:' || shingle)) AS h{i}"
+        for i in range(_MINHASH_SALTS)
+    )
+    rpb = _MINHASH_SALTS // _MINHASH_BANDS
+    cases = " ".join(
+        "WHEN {b} THEN '{b}|' || {cols}".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"h{b * rpb + r}" for r in range(rpb)
+            ),
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+    WITH t AS ({_DOC_TOKENS}),
+    idx AS (
+      SELECT doc_id, tokens,
+             unnest(generate_series(1, len(tokens) - 2)) AS i
+      FROM t WHERE len(tokens) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(tokens[i:i+2], ' ') AS shingle
+      FROM idx),
+    mh AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b,
+             CASE b {cases} END AS bucket
+      FROM mh CROSS JOIN
+           (SELECT unnest(generate_series(0, {_MINHASH_BANDS - 1})) AS b) g)
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
+    WHERE x.doc_id < y.doc_id
+    """
+
+
+@register("minhash_lsh_candidates", _minhash_oracle())
 def q_minhash_lsh(spark, sf_dir):
-    return TP.minhash_lsh_candidates(read(spark, sf_dir, "documents"))
+    return TP.minhash_lsh_candidates(
+        read(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_SALTS, bands=_MINHASH_BANDS,
+    )
 
 
-@register("simhash", None)
+# SimHash is deterministic too: token -> md5 -> 60-bit int (15 hex
+# chars), per-bit ±1 vote, sign -> bit.  The oracle rebuilds the hex
+# value with an exact BIGINT horner reduce (no float pow — 60 bits
+# exceed double precision).
+@register(
+    "simhash",
+    f"""
+    WITH t AS ({_DOC_TOKENS}),
+    tok AS (SELECT doc_id, unnest(tokens) AS tok FROM t),
+    h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(
+                 string_split(substring(md5(tok), 1, 15), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, x) -> a * 16 + x) AS h
+      FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) g
+      GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
 def q_simhash(spark, sf_dir):
     return TP.simhash64(read(spark, sf_dir, "documents"))
 
 
-# flagship meta-feature extraction (TSMFE parity) — per-series Arrow
-# kernels + 32-summary reduction; numpy-kernel results have no practical
-# ANSI-SQL oracle -> rows-only check (pytest goldens cover bit-match)
-@register("tsmfe_extract", None)
+# flagship meta-feature extraction (TSMFE parity) — exercises the FULL
+# two-stage Arrow path (groupBy(conv).applyInPandas kernels ->
+# groupBy(conv,feature).applyInPandas summaries -> reference naming) on
+# a feature set whose numpy kernels have exact ANSI-SQL equivalents, so
+# the driver's DuckDB oracle verifies the Arrow pipeline end-to-end
+# (the non-SQL kernel tail is covered by independent oracles in
+# tests/test_kernel_oracles.py).
+# Feature choice note: every value here is irrational-valued (ratios
+# with sqrt/log) or integer-exact, so the 6dp round never lands on a
+# decimal half-way point — means of the 2-decimal input grid (t_mean,
+# diff.mean, flag fractions) do land there and Spark (BigDecimal
+# HALF_UP) vs DuckDB (IEEE) disagree; those stay pytest-verified.
+@register(
+    "tsmfe_extract",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    ord AS (
+      SELECT conv_id, value,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+             lead(value) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt,
+             lag(value)  OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prv
+      FROM s),
+    base AS (
+      SELECT conv_id, count(*) AS n, avg(value) AS mu,
+             sum(value*value) AS sxx
+      FROM s GROUP BY conv_id),
+    dagg AS (
+      SELECT conv_id, count(*) AS m,
+             sum((nxt-value)*(nxt-value)) AS sdd,
+             avg((nxt-value)*(nxt-value)) AS d2,
+             avg((nxt-value)*(nxt-value)*(nxt-value)) AS d3,
+             avg(value*nxt) AS lagprod
+      FROM ord WHERE nxt IS NOT NULL GROUP BY conv_id),
+    t3 AS (
+      SELECT conv_id, avg(prv * value * nxt) AS trip
+      FROM ord WHERE prv IS NOT NULL AND nxt IS NOT NULL GROUP BY conv_id),
+    mm AS (SELECT conv_id, min(value) AS mn, max(value) AS mx
+           FROM s GROUP BY conv_id),
+    hb AS (
+      SELECT s.conv_id,
+             CAST(least(floor((s.value - mm.mn) / ((mm.mx - mm.mn) / 10)), 9)
+                  AS INT) AS bin
+      FROM s JOIN mm USING (conv_id)),
+    hc AS (SELECT conv_id, bin, count(*) AS c FROM hb GROUP BY conv_id, bin),
+    hp AS (SELECT conv_id,
+                  c * 1.0 / sum(c) OVER (PARTITION BY conv_id) AS p FROM hc),
+    he AS (SELECT conv_id, -sum(p * ln(p)) / ln(10.0) AS v
+           FROM hp GROUP BY conv_id),
+    -- statsmodels-semantics adjusted ACF, lags 1..16 (the engine side
+    -- computes this with a zero-padded FFT; this is the literal
+    -- definition sum, i.e. an independent oracle for the FFT kernel)
+    ac AS (
+      SELECT a.conv_id, g.k,
+             sum((a.value - b.mu) * (c.value - b.mu)) / (b.n - g.k) AS acov
+      FROM ord a
+      CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS k) g
+      JOIN ord c ON c.conv_id = a.conv_id AND c.rn = a.rn + g.k
+      JOIN base b ON b.conv_id = a.conv_id
+      GROUP BY a.conv_id, g.k, b.n, b.mu),
+    acv AS (
+      SELECT ac.conv_id, ac.k,
+             ac.acov / (s2.c0) AS r
+      FROM ac JOIN (
+        SELECT conv_id, sum((value - mu) * (value - mu)) / max(n) AS c0
+        FROM s JOIN base USING (conv_id) GROUP BY conv_id) s2
+      USING (conv_id)),
+    acm AS (SELECT conv_id, avg(r) AS amean, count(*) AS ak FROM acv
+            GROUP BY conv_id),
+    acs AS (
+      SELECT acv.conv_id,
+             sqrt(sum((acv.r - acm.amean) * (acv.r - acm.amean))
+                  / (acm.ak - 1)) AS asd
+      FROM acv JOIN acm USING (conv_id) GROUP BY acv.conv_id, acm.ak),
+    lng AS (
+      SELECT conv_id, 'length' AS name, CAST(n AS DOUBLE) AS v FROM base
+      UNION ALL
+      SELECT g.conv_id, 'dw', (g.sdd / b.sxx) / 4.0
+      FROM dagg g JOIN base b USING (conv_id)
+      UNION ALL
+      SELECT conv_id, 'trev', d3 / pow(d2, 1.5) FROM dagg
+      UNION ALL
+      SELECT t3.conv_id, 'tc3', t3.trip / pow(abs(g.lagprod), 1.5)
+      FROM t3 JOIN dagg g USING (conv_id)
+      UNION ALL
+      SELECT conv_id, 'hist_entropy', v FROM he
+      UNION ALL
+      SELECT conv_id, 'acf.mean', amean FROM acm
+      UNION ALL
+      SELECT conv_id, 'acf.sd', asd FROM acs)
+    SELECT conv_id, 'value' AS series, name, round(v, 6) + 0.0 AS value
+    FROM lng
+    """,
+)
 def q_tsmfe_extract(spark, sf_dir):
     from ts_pymfe_spark.api import TSMFESpark
 
     eng = TSMFESpark(
-        features=[
-            "acf", "pacf", "period", "ps_entropy", "hist_entropy", "dw",
-            "trend_strength", "lumpiness", "stability", "model_naive",
-            "model_linear", "sample_entropy", "lz_complexity",
-        ],
+        features=["length", "dw", "trev", "tc3", "hist_entropy", "acf"],
         summaries=("mean", "sd"),
     )
-    return eng.extract(_series(spark, sf_dir))
+    out = eng.extract(_series(spark, sf_dir))
+    return out.select(
+        "conv_id", "series", "name",
+        (r(F.col("value")) + F.lit(0.0)).alias("value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -904,11 +1071,57 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
-@register("ann_lsh", None)  # approximate, seeded — rows-only check
+# LSH-ANN: the hyperplanes are md5-derived (exact integer + power-of-2
+# arithmetic), so the oracle reproduces the bucketing bit-exactly.
+_HEX2INT = (
+    "list_reduce(list_transform(string_split({h}, ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, x) -> a * 16 + x)"
+)
+
+
+@register(
+    "ann_lsh",
+    f"""
+    WITH pl AS (
+      SELECT pp, list_transform(generate_series(0, 63), j ->
+        ({_HEX2INT.format(h="substring(md5('plane' || pp || ':' || j), 1, 8)")}
+         / 4294967296.0) * 2.0 - 1.0) AS w
+      FROM (SELECT unnest(generate_series(0, 7)) AS pp)),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (
+      SELECT e.vec_id,
+             string_agg(CASE WHEN list_dot_product(e.e, pl.w) > 0
+                             THEN '1' ELSE '0' END, '' ORDER BY pl.pp)
+               AS bucket
+      FROM e CROSS JOIN pl GROUP BY e.vec_id),
+    q AS (SELECT s.vec_id AS query_id, e.e AS qe, s.bucket
+          FROM sig s JOIN e USING (vec_id) WHERE vec_id < 5),
+    c AS (SELECT s.vec_id AS neighbor_id, e.e AS ce, s.bucket
+          FROM sig s JOIN e USING (vec_id) WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_dot_product(q.qe, c.ce)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+      FROM c JOIN q USING (bucket)),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 6) + 0.0 AS cos
+    FROM ranked WHERE rank <= 3
+    """,
+)
 def q_ann_lsh(spark, sf_dir):
     emb = read(spark, sf_dir, "embeddings")
-    return TP.lsh_bucketed_topk(
-        emb.filter("vec_id >= 5"), emb.filter("vec_id < 5"), k=3
+    out = TP.lsh_bucketed_topk(
+        emb.filter("vec_id >= 5"), emb.filter("vec_id < 5"), k=3, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        (r(F.col("cos")) + F.lit(0.0)).alias("cos"),
     )
 
 

@@ -78,9 +78,14 @@ class TSMFESpark:
         name = F.when(F.col("summary") == "", F.col("feature")).otherwise(
             F.concat_ws(".", "feature", "summary")
         )
+        # The reference sorts a driver-local Python list (tsmfe.py:941-947);
+        # a global orderBy here would be a full extra range-shuffle at
+        # 10^6 conversations.  sortWithinPartitions preserves the naming
+        # contract per partition with zero exchanges; consumers key by
+        # (conv_id, name) anyway.
         return (
             summ.select("conv_id", "series", name.alias("name"), "value")
-            .orderBy("conv_id", "series", "name")
+            .sortWithinPartitions("conv_id", "series", "name")
         )
 
     def extract_turns(self, turns_df: DataFrame) -> DataFrame:

@@ -278,38 +278,76 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
+def hyperplanes(spark, num_planes: int, dim: int) -> DataFrame:
+    """One-row DataFrame of ``num_planes`` md5-derived pseudo-random
+    hyperplanes (array<array<double>>).  Weight (p, j) =
+    (hex2int(md5("plane{p}:{j}")[:8]) / 2^32) * 2 - 1 — pure integer +
+    power-of-two arithmetic, so any engine (the DuckDB oracle included)
+    reproduces the planes bit-exactly.  Broadcast-joined to the data:
+    the weights are materialized once, never as plan literals."""
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("plane"), p.cast("string"),
+                                F.lit(":"), j.cast("string"),
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("double")
+                / F.lit(4294967296.0)
+                * 2.0
+                - 1.0
+            ),
+        ),
+    )
+    return spark.range(1).select(w.alias("_planes"))
+
+
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
-                      num_planes: int = 8, seed: int = 42,
+                      num_planes: int = 8, dim: int | None = None,
                       id_col: str = "vec_id", emb: str = "embedding") -> DataFrame:
     """Scale path: random-hyperplane LSH — bucket corpus+queries by the
-    sign pattern of ``num_planes`` seeded hyperplanes, search only the
-    query's bucket.  Approximate (misses cross-bucket neighbors); the
-    brute-force variant is the oracle.  Hyperplanes are seeded md5-based
-    pseudo-random vectors computed in SQL, so no driver-side state."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    dim_probe = corpus.select(F.size(emb).alias("d")).first()["d"]
-    planes = rng.standard_normal((num_planes, dim_probe))
+    sign pattern of ``num_planes`` md5-derived hyperplanes, search only
+    the query's bucket.  Approximate (single-bucket probe misses
+    cross-bucket neighbors); the brute-force variant is the recall
+    oracle, and the md5 derivation makes the bucketing itself exactly
+    reproducible in ANSI SQL.  ``dim`` is the embedding width — a
+    schema-level fact the caller supplies; no data probe happens here."""
+    if dim is None:
+        raise ValueError(
+            "lsh_bucketed_topk requires dim= (embedding width); it is a "
+            "schema fact — probing the data from the driver is a full "
+            "extra pass at scale"
+        )
+    planes_df = hyperplanes(corpus.sparkSession, num_planes, dim)
 
     def sig(df: DataFrame) -> DataFrame:
         d = _as_double(emb)
-        bits = [
-            (
+        bits = F.transform(
+            F.col("_planes"),
+            lambda pl: F.when(
                 F.aggregate(
-                    F.zip_with(
-                        d,
-                        F.array(*[F.lit(float(w)) for w in planes[p]]),
-                        lambda a, b: a * b,
-                    ),
+                    F.zip_with(d, pl, lambda a, b: a * b),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                > 0
-            ).cast("int").alias(f"_s{p}")
-            for p in range(num_planes)
-        ]
-        return df.select("*", F.concat_ws("", *bits).alias("bucket"))
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        )
+        return (
+            df.crossJoin(F.broadcast(planes_df))
+            .select("*", F.concat_ws("", bits).alias("bucket"))
+            .drop("_planes")
+        )
 
     q = sig(queries).select(
         F.col(id_col).alias("query_id"),
