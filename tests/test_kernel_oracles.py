@@ -1,0 +1,581 @@
+"""Independent correctness oracles for the numpy kernel tail.
+
+The driver contract + tier goldens verify the SQL operators and the
+Arrow pipeline, but most kernels in functions/kernels.py were (round 1)
+only checked against themselves.  Every test here asserts against
+something the kernels did NOT produce:
+
+  * literal textbook definitions re-derived inline (O(n²) sums, direct
+    DFT, brute-force loops),
+  * hand-computed small-n values,
+  * published constants (MacKinnon critical values, chi² quantiles,
+    logistic-map invariants),
+  * qualitative discrimination on canonical processes (random walk vs
+    white noise, sine vs noise) that the reference's statsmodels /
+    nolds / arch backends are known to produce.
+
+Pure numpy — no SparkSession — so the whole file runs in seconds.
+Reference citations: the ft_* methods these kernels re-derive live in
+/root/reference/tspymfe (autocorr.py, stat_tests.py, info_theory.py,
+general.py, model_based.py, landmarking.py, freq_domain.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from ts_pymfe_spark.functions import kernels as K
+from ts_pymfe_spark.functions import landmarking as LM
+
+RNG_SEED = 7
+
+
+@pytest.fixture(scope="module")
+def procs():
+    """Canonical processes, one shared RNG so values are reproducible."""
+    rng = np.random.default_rng(RNG_SEED)
+    n = 512
+    t = np.arange(n)
+    wn = rng.standard_normal(n)
+    rw = np.cumsum(rng.standard_normal(n))
+    sine12 = np.sin(2 * np.pi * t / 12)
+    sine12n = sine12 + 0.05 * rng.standard_normal(n)
+    x = 0.4
+    lm = []
+    for _ in range(n + 100):
+        x = 4.0 * x * (1 - x)
+        lm.append(x)
+    logistic = np.array(lm[100:])
+    arch = np.zeros(n)
+    for i in range(1, n):
+        sig2 = 0.2 + 0.75 * arch[i - 1] ** 2
+        arch[i] = math.sqrt(sig2) * rng.standard_normal()
+    return dict(rng=rng, n=n, t=t, wn=wn, rw=rw, sine12=sine12,
+                sine12n=sine12n, logistic=logistic, arch=arch)
+
+
+# ---------------------------------------------------------------------------
+# Definition oracles: exact numerical agreement with the literal formula
+# ---------------------------------------------------------------------------
+
+def test_acf_fft_matches_literal_definition(procs):
+    """FFT ACF (autocorr.py:128-191 semantics) vs the O(n·k) direct sum."""
+    x = procs["wn"][:200]
+    n = x.size
+    mu = x.mean()
+    c0 = np.sum((x - mu) ** 2) / n
+    for adjusted in (True, False):
+        got = K.acf(x, nlags=24, adjusted=adjusted)
+        for k in range(1, 25):
+            d = (n - k) if adjusted else n
+            expect = np.sum((x[:-k] - mu) * (x[k:] - mu)) / d / c0
+            assert got[k - 1] == pytest.approx(expect, abs=1e-10)
+
+
+def test_pacf_ols_matches_independent_regression(procs):
+    """pacf(method='ols-adjusted'): last coef of x_t ~ [1, lags],
+    re-derived via the normal equations instead of lstsq."""
+    x = procs["sine12n"][:150]
+    n = x.size
+    x0 = x - x.mean()
+    got = K.pacf_ols(x, nlags=8)
+    for k in range(1, 9):
+        cols = [x0[k - j - 1: n - j - 1] for j in range(k)]
+        X = np.column_stack([np.ones(n - k)] + cols)
+        beta = np.linalg.solve(X.T @ X, X.T @ x0[k:])
+        expect = beta[-1] * n / (n - k)
+        assert got[k - 1] == pytest.approx(expect, rel=1e-8)
+
+
+def test_periodogram_matches_direct_dft_sum(procs):
+    """Hamming periodogram vs the literal DFT sum |Σ x_t w_t e^{-iωt}|²."""
+    x = procs["wn"][:64]
+    n = x.size
+    win = np.hamming(n)
+    xd = (x - x.mean()) * win
+    freqs, power = K.periodogram_hamming(x)
+    for idx, f in enumerate(freqs):
+        s = complex(0.0)
+        for tt in range(n):
+            s += xd[tt] * np.exp(-2j * np.pi * f * tt)
+        p = abs(s) ** 2 / (win * win).sum()
+        if not (n % 2 == 0 and idx == len(freqs) - 1):
+            p *= 2  # one-sided doubling, Nyquist excluded for even n
+        assert power[idx] == pytest.approx(p, rel=1e-8)
+
+
+def test_ljung_box_matches_formula_and_chi2(procs):
+    """Q_h = n(n+2)Σ r_k²/(n−k) with unadjusted acf; p from chi²(h)."""
+    x = procs["wn"][:120]
+    n = x.size
+    mu = x.mean()
+    c0 = np.sum((x - mu) ** 2)
+    r = np.array(
+        [np.sum((x[:-k] - mu) * (x[k:] - mu)) / c0 for k in range(1, 9)]
+    )
+    q_expect = n * (n + 2) * np.cumsum(r**2 / (n - np.arange(1, 9)))
+    q_got, p_got = K.ljung_box(x, max_lags=8)
+    assert np.allclose(q_got, q_expect, rtol=1e-9)
+    assert np.all((p_got >= 0) & (p_got <= 1))
+
+
+def test_chi2_sf_against_published_quantiles():
+    """Upper-tail chi² vs standard table values (Abramowitz & Stegun)."""
+    assert K.chi2_sf(3.841, 1) == pytest.approx(0.05, abs=2e-4)
+    assert K.chi2_sf(5.991, 2) == pytest.approx(0.05, abs=2e-4)
+    assert K.chi2_sf(18.307, 10) == pytest.approx(0.05, abs=2e-4)
+    assert K.chi2_sf(6.635, 1) == pytest.approx(0.01, abs=2e-4)
+    assert K.chi2_sf(0.0, 3) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_norm_cdf_against_published_values():
+    assert K.norm_cdf(0.0) == pytest.approx(0.5, abs=1e-12)
+    assert K.norm_cdf(1.959963985) == pytest.approx(0.975, abs=1e-9)
+    assert K.norm_cdf(-1.644853627) == pytest.approx(0.05, abs=1e-9)
+
+
+def test_adf_pvalue_anchors_mackinnon_critical_values():
+    """MacKinnon constant-only critical values: -3.43→1%, -2.86→5%."""
+    assert K.adf_pvalue_approx(-3.43) == pytest.approx(0.01, abs=0.005)
+    assert K.adf_pvalue_approx(-2.86) == pytest.approx(0.05, abs=0.01)
+    assert K.adf_pvalue_approx(-10.0) <= 0.01  # clamped lower tail
+    assert K.adf_pvalue_approx(1.0) > 0.9
+
+
+def test_ami_matches_literal_joint_histogram(procs):
+    """AMI via histogram2d vs a literal double-loop binning + H sums."""
+    x = procs["sine12n"][:100]
+    lag, bins = 2, 8
+    a, b = x[:-lag], x[lag:]
+    # independent binning: same equal-width rule, hand-rolled
+    lo_a, hi_a = a.min(), a.max()
+    lo_b, hi_b = b.min(), b.max()
+    joint = np.zeros((bins, bins))
+    for va, vb in zip(a, b):
+        ia = min(int((va - lo_a) / ((hi_a - lo_a) / bins)), bins - 1)
+        ib = min(int((vb - lo_b) / ((hi_b - lo_b) / bins)), bins - 1)
+        joint[ia, ib] += 1
+    p = joint / joint.sum()
+
+    def ent(q):
+        q = q[q > 0]
+        return -np.sum(q * np.log(q))
+
+    expect = ent(p.sum(axis=1)) + ent(p.sum(axis=0)) - ent(p.ravel())
+    got = K.ami(x, lags=[lag], num_bins=bins)[0]
+    assert got == pytest.approx(expect, rel=1e-9)
+
+
+def test_sample_entropy_matches_literal_count(procs):
+    """SampEn = −ln(A/B) with brute-force Chebyshev template counting."""
+    x = procs["wn"][:80]
+    m, r = 2, 0.2 * x.std(ddof=0)
+
+    def brute_count(mm):
+        tpl = [x[i: i + mm] for i in range(x.size - mm + 1)]
+        c = 0
+        for i in range(len(tpl)):
+            for j in range(i + 1, len(tpl)):
+                if np.max(np.abs(tpl[i] - tpl[j])) <= r:
+                    c += 1
+        return c
+
+    a, b = brute_count(m + 1), brute_count(m)
+    assert K.sample_entropy(x, m=m) == pytest.approx(-math.log(a / b), rel=1e-12)
+
+
+def test_approx_entropy_matches_literal_phi(procs):
+    """ApEn = φ(m) − φ(m+1), φ = mean log of self-inclusive match freq."""
+    x = procs["sine12n"][:80]
+    m, r = 2, 0.2 * x.std(ddof=0)
+
+    def phi(mm):
+        tpl = [x[i: i + mm] for i in range(x.size - mm + 1)]
+        nn = len(tpl)
+        tot = 0.0
+        for i in range(nn):
+            c = sum(
+                1 for j in range(nn)
+                if np.max(np.abs(tpl[i] - tpl[j])) <= r
+            )
+            tot += math.log(c / nn)
+        return tot / nn
+
+    assert K.approx_entropy(x, m=m) == pytest.approx(
+        phi(m) - phi(m + 1), rel=1e-10
+    )
+
+
+def test_embed_is_takens_most_recent_first():
+    x = np.arange(10.0)
+    e = K._embed(x, dim=3, lag=2)
+    # row i = [x_{i+4}, x_{i+2}, x_i] (most recent first, lag 2)
+    assert e.shape == (6, 3)
+    assert list(e[0]) == [4.0, 2.0, 0.0]
+    assert list(e[-1]) == [9.0, 7.0, 5.0]
+
+
+def test_lz_complexity_hand_case():
+    """Hand parse of the symbol stream 0101010101 under the greedy
+    grow-until-new scheme: 0 | 1 | 01 | 010 | 10 → 5 phrases
+    ({0},{1},{01},{010},{10}), trailing '1' re-used."""
+    x = np.array([0.0, 1, 0, 1, 0, 1, 0, 1, 0, 1])
+    got = K.lz_complexity(x, num_bins=2)
+    n = 10
+    assert got == pytest.approx(5 / (n / math.log2(n)))
+
+
+def test_walker_path_hand_recurrence():
+    x = np.array([1.0, 2.0, 3.0])
+    w = K.walker_path(x, step_size=0.5)
+    assert w[0] == pytest.approx(2.0)            # mean start
+    assert w[1] == pytest.approx(2.0 + 0.5 * (1.0 - 2.0))  # 1.5
+    assert w[2] == pytest.approx(1.5 + 0.5 * (2.0 - 1.5))  # 1.75
+
+
+def test_moving_threshold_hand_recurrence():
+    xs = np.array([0.5, 2.0, 0.1])
+    thr = K.moving_threshold(xs, rate_absorption=0.1, rate_decay=0.1)
+    assert thr[0] == pytest.approx(0.9)           # decay from 1.0
+    assert thr[1] == pytest.approx(1.1 * 2.0)     # absorbed spike
+    assert thr[2] == pytest.approx(0.9 * 2.2)     # decay again
+
+
+def test_force_potential_hand_leapfrog():
+    """First two leapfrog steps of the sine potential by hand."""
+    x = np.array([0.0, 1.0, -1.0, 0.5])
+    sd = x.std(ddof=0)
+    xs = (x - x.mean()) / sd
+    alpha, fric, dt = 1.0, 1.0, 0.1
+    p, v = xs[0], 0.0
+    expect = []
+    for i in range(4):
+        a = -alpha * math.sin(p / alpha) + xs[i] - fric * v
+        v = v + dt * a
+        p = p + dt * v
+        expect.append(p)
+    got = K.force_potential(x)
+    assert np.allclose(got, expect, rtol=1e-12)
+
+
+def test_stick_angles_hand_case():
+    """x = [1, -1, 2, 3]: positive idx {0,2,3}, negative {1}."""
+    x = np.array([1.0, -1.0, 2.0, 3.0])
+    n = 4
+    pos = [math.atan((n - 1) * (2.0 - 1.0) / 2), math.atan((n - 1) * (3.0 - 2.0) / 1)]
+    got = K.stick_angles(x)
+    assert np.allclose(np.sort(got), np.sort(pos))
+
+
+def test_spikiness_closed_form_equals_literal_loo(procs):
+    x = procs["wn"][:40]
+    got = K.spikiness(x)
+    expect = np.array(
+        [np.var(np.delete(x, i), ddof=1) for i in range(x.size)]
+    )
+    assert np.allclose(got, expect, rtol=1e-10)
+
+
+def test_moving_stats_match_pandas_rolling(procs):
+    import pandas as pd
+
+    x = procs["sine12n"][:120]
+    sd0 = x.std(ddof=0)
+    z = (x - x.mean()) / sd0
+    w = K._win_size(z.size, 0.1)
+    s = pd.Series(z)
+    assert np.allclose(
+        K.moving_stat(x, "avg"),
+        s.rolling(w, center=True).mean().dropna().to_numpy(),
+        rtol=1e-10,
+    )
+    assert np.allclose(
+        K.moving_stat(x, "sd"),
+        s.rolling(w, center=True).std(ddof=1).dropna().to_numpy(),
+        rtol=1e-10,
+    )
+    assert np.allclose(
+        K.moving_stat(x, "var"),
+        s.rolling(w, center=True).var(ddof=1).dropna().to_numpy(),
+        rtol=1e-10,
+    )
+
+
+def test_tiled_kernels_match_array_split(procs):
+    x = procs["wn"][:100]
+    parts = np.array_split(x, 16)
+    assert np.allclose(K.lumpiness(x), [p.var(ddof=1) for p in parts])
+    assert np.allclose(K.stability(x), [p.mean() for p in parts])
+    assert np.allclose(K.local_range(x), [p.max() - p.min() for p in parts])
+
+
+def test_ioe_stats_matches_literal_reimplementation(procs):
+    """Iterative outlier exclusion (reference _utils.py:248-350):
+    re-derived step-by-step with plain Python."""
+    x = procs["sine12n"][:100]
+    got = K.ioe_stats(x, np.mean, differentiate=True)
+    sd = x.std(ddof=0)
+    xs = (x - x.mean()) / sd
+    ab = np.abs(xs)
+    step = 0.05 * ab.std(ddof=0)
+    thr = ab.min()
+    expect = []
+    for _ in range(min(1024, int(np.ceil(ab.max() / step)))):
+        thr += step
+        idx = [i for i, v in enumerate(ab) if v >= thr]
+        if len(idx) <= 1:
+            break
+        expect.append(np.mean(np.diff(idx)))
+    assert np.allclose(got, expect, rtol=1e-12)
+
+
+def test_embed_in_shell_hand_case():
+    """dim=2 lag=1 embedding of a z-scored ramp; count norms in [0,1]."""
+    x = np.array([0.0, 1.0, 2.0, 3.0])
+    sd = x.std(ddof=0)
+    z = (x - x.mean()) / sd
+    emb = np.column_stack([z[1:], z[:-1]])
+    norms = np.sqrt((emb**2).sum(axis=1))
+    expect = np.mean((norms >= 0.0) & (norms <= 1.0))
+    assert K.embed_in_shell(x) == pytest.approx(expect)
+
+
+def test_lilliefors_is_ks_distance_to_fitted_normal():
+    """Hand-computed D for n=4 against the erf CDF."""
+    x = np.array([0.0, 1.0, 2.0, 10.0])
+    mu, sd = x.mean(), x.std(ddof=1)
+    z = np.sort((x - mu) / sd)
+    cdf = np.array([0.5 * (1 + math.erf(v / math.sqrt(2))) for v in z])
+    n = 4
+    d_plus = np.max(np.arange(1, n + 1) / n - cdf)
+    d_minus = np.max(cdf - np.arange(0, n) / n)
+    assert K.lilliefors_stat(x, "norm") == pytest.approx(
+        max(d_plus, d_minus), rel=1e-9
+    )
+
+
+def test_trev_tc3_hand_case():
+    x = np.array([1.0, 3.0, 2.0, 5.0])
+    d = np.array([2.0, -1.0, 3.0])
+    assert K.trev_stat(x) == pytest.approx(
+        np.mean(d**3) / np.mean(d**2) ** 1.5
+    )
+    num = np.mean([1 * 3 * 2, 3 * 2 * 5])
+    den = abs(np.mean([1 * 3, 3 * 2, 2 * 5])) ** 1.5
+    assert K.tc3_stat(x) == pytest.approx(num / den)
+
+
+def test_peak_trough_frac_on_pure_sine(procs):
+    """Sine of period 12: the per-period argmax sits at phase 3/12 and
+    the argmin at 9/12 — exact fractions."""
+    t = np.arange(480)
+    s = np.sin(2 * np.pi * t / 12)
+    assert K.peak_trough_frac(s, 12, "peak") == pytest.approx(0.25)
+    assert K.peak_trough_frac(s, 12, "trough") == pytest.approx(0.75)
+
+
+# ---------------------------------------------------------------------------
+# Behavioral oracles: canonical-process discrimination
+# ---------------------------------------------------------------------------
+
+def test_unit_root_tests_discriminate_rw_from_wn(procs):
+    wn, rw = procs["wn"], procs["rw"]
+    # ADF: very negative for stationary noise, near zero for a RW
+    assert K.adf_stat(wn) < -3.5 < K.adf_stat(rw)
+    # PP: same direction, larger magnitudes
+    assert K.pp_stat(wn) < -10 < K.pp_stat(rw)
+    # DF-GLS
+    assert K.dfgls_stat(wn) < -2.5 < K.dfgls_stat(rw)
+    # Zivot-Andrews (break-adjusted): stationary well below -5
+    assert K.za_stat(wn) < -5 < K.za_stat(rw)
+    # KPSS flips: H0 is stationarity — wn small (below 5% crit 0.463)
+    assert K.kpss_stat(wn) < 0.463
+    assert K.kpss_stat(rw) > K.kpss_stat(wn)
+
+
+def test_arch_lm_detects_conditional_heteroskedasticity(procs):
+    stat_arch = K.arch_lm_stat(procs["arch"])[0]
+    stat_wn = K.arch_lm_stat(procs["wn"])[0]
+    # chi²(12) 5% critical value is 21.03
+    assert stat_arch > 21.03 > stat_wn
+
+
+def test_hurst_and_dfa_exponents(procs):
+    """White noise ~0.5; RW: R/S→~1, DFA α→~1.5 (published values)."""
+    assert 0.4 < K.hurst_rs(procs["wn"]) < 0.7
+    assert K.hurst_rs(procs["rw"]) > 0.85
+    assert 0.4 < K.dfa(procs["wn"]) < 0.7
+    assert 1.2 < K.dfa(procs["rw"]) < 1.8
+
+
+def test_corr_dim_logistic_map_near_one(procs):
+    """G-P correlation dimension of the fully chaotic logistic map is
+    ≈1 (its invariant measure fills [0,1]); iid noise embeds at the
+    embedding dimension (≈2 here), so the ordering is strict."""
+    d_lm = K.corr_dim(procs["logistic"])
+    d_wn = K.corr_dim(procs["wn"])
+    assert 0.7 < d_lm < 1.15
+    assert d_wn > d_lm + 0.4
+
+
+def test_max_lyap_positive_for_chaos_only(procs):
+    """Rosenstein λ₁ > 0 for the logistic map (true value ln 2), and
+    clearly larger than for a periodic signal."""
+    lam_chaos = K.max_lyap(procs["logistic"])
+    lam_sine = K.max_lyap(procs["sine12"])
+    assert lam_chaos > 0.05
+    assert lam_chaos > 3 * abs(lam_sine)
+
+
+def test_period_recovers_impulse_train(procs):
+    """argmax|ACF| semantics (reference _period.py:14-45): an impulse
+    train of period 12 has ACF peaks only at multiples of 12, so the
+    returned period must be one of them (the adjusted 1/(n−k) divisor
+    can promote a higher harmonic — same behavior as statsmodels
+    acf(adjusted=True), which the reference calls)."""
+    rng = np.random.default_rng(3)
+    t = np.arange(480)
+    imp = (t % 12 == 0).astype(float) + 0.01 * rng.standard_normal(480)
+    p = K.ts_period(imp)
+    assert p % 12 == 0 and p >= 12
+
+
+def test_ar2_cycle_period_recovers_seasonal_cycle(procs):
+    assert K.ar2_cycle_period(procs["sine12n"]) == pytest.approx(12.0, abs=0.5)
+
+
+def test_spectral_entropy_discriminates(procs):
+    h_sine = K.ps_entropy(K.periodogram_hamming(procs["sine12"])[1])
+    h_wn = K.ps_entropy(K.periodogram_hamming(procs["wn"])[1])
+    assert h_sine < 0.3 < 0.8 < h_wn <= 1.0
+
+
+def test_low_freq_power_detects_trend(procs):
+    slow = np.linspace(0, 1, 512) + 0.01 * procs["wn"]
+    assert K.low_freq_power(slow) > 0.5
+    assert K.low_freq_power(procs["sine12"]) < 0.1
+
+
+def test_entropies_order_regular_vs_random(procs):
+    assert K.sample_entropy(procs["sine12"]) < K.sample_entropy(procs["wn"])
+    assert K.approx_entropy(procs["sine12"]) < K.approx_entropy(procs["wn"])
+    assert K.lz_complexity(procs["sine12"]) < K.lz_complexity(procs["wn"])
+
+
+def test_boxcox_lambda_recovers_transform_family(procs):
+    rng = np.random.default_rng(11)
+    lognorm = np.exp(0.5 * rng.standard_normal(400))
+    norm = rng.standard_normal(400) + 100
+    lam_log = K.boxcox_lambda(lognorm)
+    lam_norm = K.boxcox_lambda(norm)
+    assert lam_log < 0.6            # log-ish data wants λ near 0
+    assert 0.5 < lam_norm < 1.5     # normal data wants λ near 1
+    assert lam_log < lam_norm
+
+
+def test_embedding_diagnostics_on_deterministic_signal(procs):
+    """Cao E1 rises to ~1 once the attractor unfolds; FNN proportion
+    collapses to ~0 for a clean deterministic signal."""
+    e1 = K.cao_e1_e2(procs["sine12n"])[0]
+    assert e1[0] < 0.2 and e1[5] > 0.85
+    fnn = K.fnn_prop(procs["sine12n"])
+    assert fnn[0] > 0.5
+    assert np.nanmin(fnn[2:]) < 0.05
+
+
+def test_pred_dvv_sine_more_predictable_than_noise(procs):
+    p_sine = K.pred_dvv(procs["sine12"])
+    p_wn = K.pred_dvv(procs["wn"])
+    # delay-vector variance: deterministic → small at small spans,
+    # noise → ≈1 everywhere
+    assert np.nanmean(p_sine) < 0.7
+    assert np.nanmean(p_wn) > 0.9
+
+
+def test_gp_r_squared_fits_smooth_signal(procs):
+    assert K.gaussian_r_sqr(procs["sine12n"][:128]) > 0.95
+
+
+def test_lilliefors_discriminates_distributions(procs):
+    rng = np.random.default_rng(5)
+    normal = rng.standard_normal(300)
+    expo = rng.exponential(1.0, 300)
+    # 5% critical value for Lilliefors(norm) at n=300 ≈ 0.886/sqrt(n)=0.051
+    assert K.lilliefors_stat(normal, "norm") < 0.051
+    assert K.lilliefors_stat(expo, "norm") > 0.1
+    assert K.lilliefors_stat(expo, "exp") < K.lilliefors_stat(expo, "norm")
+
+
+def test_moving_kldiv_detects_distribution_shift(procs):
+    rng = np.random.default_rng(9)
+    iid = rng.standard_normal(512)
+    shifted = np.concatenate(
+        [rng.standard_normal(256), 5 + rng.standard_normal(256)]
+    )
+    assert np.nanmean(K.moving_kldiv(shifted)) > 1.5 * np.nanmean(
+        K.moving_kldiv(iid)
+    )
+
+
+def test_orthopoly_linearity_curvature_signs():
+    n = 256
+    t = np.linspace(0, 1, n)
+    lin_coef, lin_curv = K.orthopoly_features(2 + 3 * t)
+    assert abs(lin_coef) > 1.0
+    assert abs(lin_curv) < 1e-8
+    _, quad_curv = K.orthopoly_features(t**2)
+    assert abs(quad_curv) > 0.5
+
+
+def test_des_params_track_signal_memory(procs):
+    """Holt on a random walk wants α≈1 (level follows last value)."""
+    a_rw, _ = K.des_params(procs["rw"][:200])
+    assert a_rw > 0.8
+
+
+def test_landmarking_exact_fit_models_score_zero():
+    n = 240
+    t = np.linspace(0, 1, n)
+    lin = 2 + 3 * t
+    assert np.nanmax(LM.landmark_scores(lin, "model_linear")) < 1e-8
+    const = np.full(n, 5.0)
+    assert np.nanmax(LM.landmark_scores(const, "model_mean")) < 1e-12
+    assert np.nanmax(LM.landmark_scores(const, "model_naive")) < 1e-12
+    sine = np.sin(2 * np.pi * np.arange(n) / 24)
+    assert np.nanmax(LM.landmark_scores(sine, "model_sine")) < 1e-6
+
+
+def test_landmarking_linear_beats_naive_on_trend(procs):
+    """On a strong trend the linear landmarker must beat naive — the
+    relative ordering is the reference's landmarking signal."""
+    n = 240
+    rng = np.random.default_rng(13)
+    y = 3 * np.linspace(0, 1, n) + 0.05 * rng.standard_normal(n)
+    lin = np.nanmean(LM.landmark_scores(y, "model_linear"))
+    naive = np.nanmean(LM.landmark_scores(y, "model_naive"))
+    mean = np.nanmean(LM.landmark_scores(y, "model_mean"))
+    assert lin < naive < mean
+
+
+def test_iaaft_preserves_amplitude_distribution(procs):
+    """IAAFT surrogates are exact permutations of the original values."""
+    x = procs["sine12n"][:128]
+    surr = K.iaaft(x, random_state=21)
+    assert np.allclose(np.sort(surr), np.sort(x))
+
+
+def test_seeded_stats_deterministic(procs):
+    x = procs["wn"][:100]
+    s1 = K.surprise(x, random_state=123)
+    s2 = K.surprise(x, random_state=123)
+    assert np.array_equal(s1, s2)
+    r1 = K.resample_stat(x, np.mean, random_state=77)
+    r2 = K.resample_stat(x, np.mean, random_state=77)
+    assert np.array_equal(r1, r2)
+    # bootstrap means concentrate around the true mean
+    assert abs(np.nanmean(r1) - x.mean()) < 3 * x.std(ddof=0) / math.sqrt(
+        0.2 * x.size
+    )
