@@ -1,0 +1,133 @@
+"""Round-2 surfaces: rescale parity, measure_time, bootstrap CIs,
+and the jaccard_pairs scale guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ts_pymfe_spark.api import TSMFESpark
+from ts_pymfe_spark.operators import textpipe as TP
+from ts_pymfe_spark.operators.derive import series_of
+from ts_pymfe_spark.operators.local_stats import VALID_RESCALE, rescale
+
+
+@pytest.fixture(scope="module")
+def small_series(spark, turns):
+    s = series_of(turns, "text_len")
+    keep = [r.conv_id for r in (
+        s.groupBy("conv_id").count()
+        .orderBy(F.col("count").desc()).limit(4)
+        .select("conv_id").collect()
+    )]
+    assert keep, "fixture must select conversations"
+    out = s.filter(F.col("conv_id").isin(keep)).cache()
+    assert out.count() > 0
+    return out
+
+
+def test_rescale_three_modes_match_sklearn_semantics(spark, small_series):
+    """standard/min-max/robust vs numpy re-derivations of the sklearn
+    scalers the reference delegates to (_internal.py:1569-1609)."""
+    pdf = small_series.toPandas().sort_values(["conv_id", "turn_idx"])
+    for option in VALID_RESCALE:
+        got = (
+            rescale(small_series, option)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+        )
+        for conv, g in got.groupby("conv_id"):
+            x = pdf[pdf.conv_id == conv]["value"].to_numpy(dtype=float)
+            if option == "standard":
+                expect = (x - x.mean()) / x.std(ddof=0)
+            elif option == "min-max":
+                expect = (x - x.min()) / (x.max() - x.min())
+            else:
+                q1, q2, q3 = np.percentile(x, [25, 50, 75])
+                expect = (x - q2) / (q3 - q1)
+            assert np.allclose(
+                g["value_scaled"].to_numpy(), expect, rtol=1e-9
+            ), f"{option} mismatch for {conv}"
+
+
+def test_rescale_rejects_unknown_option(small_series):
+    with pytest.raises(ValueError, match="rescale option"):
+        rescale(small_series, "sigmoid")
+
+
+def test_extract_measure_time_emits_wall_ms(spark, small_series):
+    eng = TSMFESpark(features=["acf", "length", "dw"], summaries=("mean",))
+    out = eng.extract(small_series, measure_time=True).toPandas()
+    assert "wall_ms" in out.columns
+    assert (out["wall_ms"] >= 0).all()
+    # all summary rows of one (conv, feature) share the kernel time
+    out["feat"] = out["name"].str.split(".").str[0]
+    for _, g in out.groupby(["conv_id", "feat"]):
+        assert g["wall_ms"].nunique() == 1
+    # values identical to the untimed path
+    plain = eng.extract(small_series).toPandas()
+    merged = plain.merge(
+        out[["conv_id", "series", "name", "value"]],
+        on=["conv_id", "series", "name"], suffixes=("_a", "_b"),
+    )
+    assert len(merged) == len(plain)
+    pd.testing.assert_series_equal(
+        merged["value_a"], merged["value_b"], check_names=False
+    )
+
+
+def test_extract_with_confidence_brackets_point_estimate(spark, small_series):
+    eng = TSMFESpark(features=["dw", "trev", "hist_entropy"],
+                     summaries=("mean",))
+    ci = eng.extract_with_confidence(
+        small_series, sample_num=24, confidence=0.9
+    ).toPandas()
+    assert set(ci.columns) == {
+        "conv_id", "series", "name", "value", "ci_low", "ci_high",
+        "n_resamples",
+    }
+    assert (ci["n_resamples"] == 24).all()
+    ok = ci.dropna(subset=["ci_low", "ci_high"])
+    assert len(ok) > 0
+    assert (ok["ci_low"] <= ok["ci_high"]).all()
+    # bootstrap mean sits inside its own CI
+    assert (
+        (ok["value"] >= ok["ci_low"] - 1e-12)
+        & (ok["value"] <= ok["ci_high"] + 1e-12)
+    ).all()
+    # higher confidence -> wider (or equal) intervals
+    ci99 = eng.extract_with_confidence(
+        small_series, sample_num=24, confidence=0.99
+    ).toPandas()
+    m = ok.merge(ci99, on=["conv_id", "series", "name"],
+                 suffixes=("_90", "_99")).dropna()
+    width90 = m["ci_high_90"] - m["ci_low_90"]
+    width99 = m["ci_high_99"] - m["ci_low_99"]
+    assert (width99 >= width90 - 1e-12).all()
+
+
+def test_extract_with_confidence_partition_invariant(spark, small_series):
+    eng = TSMFESpark(features=["dw"], summaries=("mean",))
+    a = eng.extract_with_confidence(
+        small_series.repartition(1), sample_num=8
+    ).toPandas().sort_values(["conv_id", "name"]).reset_index(drop=True)
+    b = eng.extract_with_confidence(
+        small_series.repartition(7, "turn_idx"), sample_num=8
+    ).toPandas().sort_values(["conv_id", "name"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_jaccard_pairs_guard_refuses_oversize_corpus(spark):
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    guarded = TP.jaccard_pairs(docs, max_docs=10)
+    with pytest.raises(Exception, match="O\\(docs\\^2\\)"):
+        guarded.count()
+    # under the bound it runs; force=True bypasses
+    assert TP.jaccard_pairs(docs, max_docs=100).count() >= 0
+    assert TP.jaccard_pairs(docs, max_docs=10, force=True).count() >= 0

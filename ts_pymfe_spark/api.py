@@ -68,13 +68,27 @@ class TSMFESpark:
     def valid_features(self) -> list[str]:
         return sorted(list(FEATURE_KERNELS) + list(SEEDED_FEATURE_KERNELS))
 
-    def extract(self, series_df: DataFrame) -> DataFrame:
+    def extract(self, series_df: DataFrame,
+                measure_time: bool = False) -> DataFrame:
         """(conv_id[, series], turn_idx, value) ->
-        (conv_id, series, name, value), name sorted lexicographically."""
+        (conv_id, series, name, value[, wall_ms]).
+
+        ``measure_time``: adds per-feature kernel wall-clock
+        (reference ``measure_time`` option, tsmfe.py:128-165 /
+        _internal.timeit:1422-1442 — 'total' semantics: rows of one
+        feature's summaries share the feature's kernel time)."""
         feats = series_features(
-            series_df, features=self.features, max_points=self.max_points
+            series_df, features=self.features, max_points=self.max_points,
+            measure_time=measure_time,
         )
+        if measure_time:
+            timing = feats.groupBy("conv_id", "series", "feature").agg(
+                F.max("wall_ms").alias("wall_ms")
+            )
+            feats = feats.drop("wall_ms")
         summ = summarize(feats, self.summaries)
+        if measure_time:
+            summ = summ.join(timing, ["conv_id", "series", "feature"])
         name = F.when(F.col("summary") == "", F.col("feature")).otherwise(
             F.concat_ws(".", "feature", "summary")
         )
@@ -83,9 +97,69 @@ class TSMFESpark:
         # 10^6 conversations.  sortWithinPartitions preserves the naming
         # contract per partition with zero exchanges; consumers key by
         # (conv_id, name) anyway.
-        return (
-            summ.select("conv_id", "series", name.alias("name"), "value")
-            .sortWithinPartitions("conv_id", "series", "name")
+        cols = ["conv_id", "series", name.alias("name"), "value"]
+        if measure_time:
+            cols.append("wall_ms")
+        return summ.select(*cols).sortWithinPartitions(
+            "conv_id", "series", "name"
+        )
+
+    def extract_with_confidence(
+        self,
+        series_df: DataFrame,
+        sample_num: int = 128,
+        confidence: float = 0.95,
+        base_seed: int = 1234,
+    ) -> DataFrame:
+        """Bootstrap confidence intervals per meta-feature (reference
+        ``extract_with_confidence``, tsmfe.py:1079-1248): ``sample_num``
+        iid-with-replacement resamples per series, each fully extracted,
+        then per-(conv, name) percentile CIs.
+
+        Returns (conv_id, series, name, value, ci_low, ci_high,
+        n_resamples): ``value`` = nanmean over resamples (reference
+        ``return_avg_val=True``); CI bounds = the [α/2, 1−α/2]
+        linear-interpolated quantiles, NaN when any resample produced
+        NaN (np.quantile propagation — reference uses the non-nan-aware
+        quantile, tsmfe.py:1232-1236).
+
+        One shuffle for extraction (resample loop runs in-worker), one
+        for the summary stage, one final partial-aggregated reduction —
+        the sample_num× compute fan-out never touches the network."""
+        from ts_pymfe_spark.operators.arrow_kernels import (
+            bootstrap_series_features,
+        )
+
+        lo = 0.5 * (1.0 - confidence)
+        feats = bootstrap_series_features(
+            series_df, features=self.features, sample_num=sample_num,
+            max_points=self.max_points, base_seed=base_seed,
+        )
+        summ = summarize(feats, self.summaries, extra_keys=("resample",))
+        name = F.when(F.col("summary") == "", F.col("feature")).otherwise(
+            F.concat_ws(".", "feature", "summary")
+        )
+        per = summ.select(
+            "conv_id", "series", name.alias("name"),
+            F.col("value"),
+            F.when(F.isnan("value"), None).otherwise(F.col("value"))
+            .alias("_v"),
+        )
+        nan_lit = F.lit(float("nan"))
+        agg = per.groupBy("conv_id", "series", "name").agg(
+            F.avg("_v").alias("value"),               # nanmean
+            F.max(F.isnan("value")).alias("_any_nan"),
+            F.percentile("_v", F.lit(lo)).alias("_lo"),
+            F.percentile("_v", F.lit(1.0 - lo)).alias("_hi"),
+            F.count("value").alias("n_resamples"),
+        )
+        return agg.select(
+            "conv_id", "series", "name", "value",
+            F.when(F.col("_any_nan"), nan_lit).otherwise(F.col("_lo"))
+            .alias("ci_low"),
+            F.when(F.col("_any_nan"), nan_lit).otherwise(F.col("_hi"))
+            .alias("ci_high"),
+            "n_resamples",
         )
 
     def extract_turns(self, turns_df: DataFrame) -> DataFrame:

@@ -357,9 +357,6 @@ def _arima_forecast(ytr, h, p, d, q, const):
     # integrate differences back
     if d == 0:
         return fw
-    last = np.asarray(ytr, dtype=float)
-    for _ in range(d):
-        pass
     # reconstruct level forecasts by cumulative integration of order d
     hist = np.asarray(ytr, dtype=float)
     levels = []

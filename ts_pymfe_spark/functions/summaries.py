@@ -159,21 +159,35 @@ def summarize_array(values: np.ndarray, summaries=DEFAULT_SUMMARIES):
     return out
 
 
-def summarize(feature_df, summaries=DEFAULT_SUMMARIES):
-    """Spark second stage: long feature table (conv_id, series, feature,
-    idx, value) -> (conv_id, series, feature, summary, value).
+#: extra-key name -> Spark SQL type (for schema synthesis)
+_EXTRA_KEY_TYPES = {"resample": "int"}
+
+
+def summarize(feature_df, summaries=DEFAULT_SUMMARIES, extra_keys=()):
+    """Spark second stage: long feature table (conv_id, series,
+    [*extra_keys,] feature, idx, value) -> (conv_id, series,
+    [*extra_keys,] feature, summary, value).
 
     Scalar features (single row, idx=0) pass through with summary ''
-    (the reference does not summarize scalars, tsmfe.py:469-471)."""
+    (the reference does not summarize scalars, tsmfe.py:469-471).
+
+    ``extra_keys`` threads additional grouping dimensions through the
+    reduction — e.g. ``("resample",)`` for the bootstrap CI path."""
     from pyspark.sql import DataFrame  # local import keeps module numpy-pure
 
-    schema = "conv_id string, series string, feature string, summary string, value double"
+    extra_keys = tuple(extra_keys)
+    extra_schema = "".join(
+        f", {k} {_EXTRA_KEY_TYPES.get(k, 'string')}" for k in extra_keys
+    )
+    schema = (
+        "conv_id string, series string" + extra_schema
+        + ", feature string, summary string, value double"
+    )
+    group_keys = ("conv_id", "series", *extra_keys, "feature")
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("idx")
-        conv, ser, feat = (
-            pdf["conv_id"].iloc[0], pdf["series"].iloc[0], pdf["feature"].iloc[0]
-        )
+        head = {k: pdf[k].iloc[0] for k in group_keys}
         vals = pdf["value"].to_numpy(dtype=float)
         if len(vals) == 1:
             rows = [("", float(vals[0]))]
@@ -181,14 +195,10 @@ def summarize(feature_df, summaries=DEFAULT_SUMMARIES):
             rows = summarize_array(vals, summaries)
         return pd.DataFrame(
             {
-                "conv_id": conv,
-                "series": ser,
-                "feature": feat,
+                **head,
                 "summary": [r[0] for r in rows],
                 "value": [r[1] for r in rows],
             }
         )
 
-    return feature_df.groupBy("conv_id", "series", "feature").applyInPandas(
-        kern, schema
-    )
+    return feature_df.groupBy(*group_keys).applyInPandas(kern, schema)

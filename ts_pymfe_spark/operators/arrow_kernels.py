@@ -23,6 +23,7 @@ Scale design:
 from __future__ import annotations
 
 import math
+import time
 from typing import Callable, Iterable
 
 import numpy as np
@@ -429,12 +430,24 @@ def _walker_cross_frac(x: np.ndarray) -> float:
     return float(np.mean(side[1:] != side[:-1]))
 
 
+def _resolve_features(features: Iterable[str] | None) -> list[str]:
+    if features is not None:
+        names = list(features)
+    else:
+        names = list(FEATURE_KERNELS) + list(SEEDED_FEATURE_KERNELS)
+    unknown = set(names) - set(FEATURE_KERNELS) - set(SEEDED_FEATURE_KERNELS)
+    if unknown:
+        raise ValueError(f"unknown features: {sorted(unknown)}")
+    return names
+
+
 def series_features(
     df: DataFrame,
     features: Iterable[str] | None = None,
     max_points: int = 4096,
     order_col: str = "turn_idx",
     value_col: str = "value",
+    measure_time: bool = False,
 ) -> DataFrame:
     """Long feature table over per-series Arrow kernels.
 
@@ -444,14 +457,12 @@ def series_features(
 
     ``max_points``: quadratic-kernel cap — each group is truncated to
     its most-recent ``max_points`` observations after sorting (the
-    reference's tail-truncation semantics, test_a.py:27)."""
-    if features is not None:
-        names = list(features)
-    else:
-        names = list(FEATURE_KERNELS) + list(SEEDED_FEATURE_KERNELS)
-    unknown = set(names) - set(FEATURE_KERNELS) - set(SEEDED_FEATURE_KERNELS)
-    if unknown:
-        raise ValueError(f"unknown features: {sorted(unknown)}")
+    reference's tail-truncation semantics, test_a.py:27).
+
+    ``measure_time``: add a ``wall_ms`` column = wall-clock of the
+    feature's kernel call (reference ``measure_time='total'``,
+    tsmfe.py:128-165; array rows of one feature share the value)."""
+    names = _resolve_features(features)
     has_series = "series" in df.columns
     keys = ["conv_id", "series"] if has_series else ["conv_id"]
 
@@ -465,7 +476,9 @@ def series_features(
         out_feat: list[str] = []
         out_idx: list[int] = []
         out_val: list[float] = []
+        out_ms: list[float] = []
         for name in names:
+            t0 = time.perf_counter() if measure_time else 0.0
             try:
                 if name in SEEDED_FEATURE_KERNELS:
                     res = SEEDED_FEATURE_KERNELS[name](
@@ -480,14 +493,83 @@ def series_features(
             out_feat.extend([name] * arr.size)
             out_idx.extend(range(arr.size))
             out_val.extend(arr.tolist())
-        return pd.DataFrame(
-            {
-                "conv_id": conv,
-                "series": ser,
-                "feature": out_feat,
-                "idx": out_idx,
-                "value": out_val,
-            }
-        )
+            if measure_time:
+                out_ms.extend(
+                    [(time.perf_counter() - t0) * 1000.0] * arr.size
+                )
+        cols = {
+            "conv_id": conv,
+            "series": ser,
+            "feature": out_feat,
+            "idx": out_idx,
+            "value": out_val,
+        }
+        if measure_time:
+            cols["wall_ms"] = out_ms
+        return pd.DataFrame(cols)
 
-    return df.groupBy(*keys).applyInPandas(kernel, FEATURE_SCHEMA)
+    schema = FEATURE_SCHEMA + (", wall_ms double" if measure_time else "")
+    return df.groupBy(*keys).applyInPandas(kernel, schema)
+
+
+BOOTSTRAP_SCHEMA = (
+    "conv_id string, series string, resample int, feature string, "
+    "idx int, value double"
+)
+
+
+def bootstrap_series_features(
+    df: DataFrame,
+    features: Iterable[str] | None = None,
+    sample_num: int = 128,
+    max_points: int = 4096,
+    order_col: str = "turn_idx",
+    value_col: str = "value",
+    base_seed: int = 1234,
+) -> DataFrame:
+    """Kernel features on ``sample_num`` bootstrap resamples per series
+    (reference ``extract_with_confidence``, tsmfe.py:1079-1248 /
+    _extract_with_bootstrap:982-1077: iid index resampling WITH
+    replacement, fresh seed per iteration).
+
+    Distribution shape: the resample loop runs INSIDE the Arrow worker
+    on the already-local series — one shuffle total, no sample_num×
+    data explosion; seeds derive from (conv_id, resample) so results
+    are partition/shuffle-invariant."""
+    names = _resolve_features(features)
+    has_series = "series" in df.columns
+    keys = ["conv_id", "series"] if has_series else ["conv_id"]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        if len(pdf) > max_points:
+            pdf = pdf.iloc[-max_points:]
+        x = pdf[value_col].to_numpy(dtype=float)
+        conv = pdf["conv_id"].iloc[0]
+        ser = pdf["series"].iloc[0] if has_series else value_col
+        out: dict[str, list] = {
+            "resample": [], "feature": [], "idx": [], "value": []
+        }
+        for r in range(sample_num):
+            rng = np.random.RandomState(
+                feature_seed(conv, f"bootstrap:{r}", base_seed)
+            )
+            xs = x[rng.randint(x.size, size=x.size)]
+            for name in names:
+                try:
+                    if name in SEEDED_FEATURE_KERNELS:
+                        res = SEEDED_FEATURE_KERNELS[name](
+                            xs, feature_seed(conv, f"{name}:{r}", base_seed)
+                        )
+                    else:
+                        res = FEATURE_KERNELS[name](xs)
+                except Exception:
+                    res = np.nan
+                arr = np.atleast_1d(np.asarray(res, dtype=float))
+                out["resample"].extend([r] * arr.size)
+                out["feature"].extend([name] * arr.size)
+                out["idx"].extend(range(arr.size))
+                out["value"].extend(arr.tolist())
+        return pd.DataFrame({"conv_id": conv, "series": ser, **out})
+
+    return df.groupBy(*keys).applyInPandas(kernel, BOOTSTRAP_SCHEMA)

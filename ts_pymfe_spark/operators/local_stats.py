@@ -50,6 +50,42 @@ def zscore(df: DataFrame, value: str = "value", ddof: int = 0,
     return df.withColumn(out, (F.col(value) - mu) / sd)
 
 
+#: reference VALID_RESCALE (_internal.py:150-162) — sklearn scaler trio
+VALID_RESCALE = ("standard", "min-max", "robust")
+
+
+def rescale(df: DataFrame, option: str = "standard", value: str = "value",
+            out: str = "value_scaled") -> DataFrame:
+    """Ingest rescaling, reference parity (``_internal.py:1569-1609``):
+    sklearn StandardScaler / MinMaxScaler / RobustScaler semantics as
+    per-conversation window expressions (one shuffle-free pass; the
+    partition window is the per-series fit the reference does on its
+    single array).
+
+      standard: (x − mean) / std_pop          (StandardScaler)
+      min-max:  (x − min) / (max − min)       (MinMaxScaler)
+      robust:   (x − median) / (q75 − q25)    (RobustScaler, linear-
+                interpolated quantiles = numpy/sklearn default)
+    """
+    if option not in VALID_RESCALE:
+        raise ValueError(
+            f"Unknown rescale option {option!r}; choose one of {VALID_RESCALE}"
+        )
+    w = Window.partitionBy("conv_id")
+    x = F.col(value)
+    if option == "standard":
+        col = (x - F.avg(value).over(w)) / F.stddev_pop(value).over(w)
+    elif option == "min-max":
+        mn, mx = F.min(value).over(w), F.max(value).over(w)
+        col = (x - mn) / (mx - mn)
+    else:  # robust
+        q1 = F.percentile(x, F.lit(0.25)).over(w)
+        q2 = F.percentile(x, F.lit(0.5)).over(w)
+        q3 = F.percentile(x, F.lit(0.75)).over(w)
+        col = (x - q2) / (q3 - q1)
+    return df.withColumn(out, col)
+
+
 def _frame(k: int):
     return _w().rowsBetween(-k, k)
 

@@ -89,11 +89,26 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 
 
 def repartition_for_media(df: DataFrame, batch_mb: int = 64,
-                          avg_row_kb: int = 512) -> DataFrame:
-    """Size partitions so an Arrow batch carries ~batch_mb of payload."""
-    rows_per_part = max(1, (batch_mb * 1024) // avg_row_kb)
-    n = df.count()
-    return df.repartition(max(1, n // rows_per_part))
+                          avg_row_kb: int = 512,
+                          est_rows: int | None = None) -> DataFrame:
+    """Bound the payload bytes an Arrow batch carries.
+
+    No data pass: at 100 TB an extra ``df.count()`` just to size
+    partitions is a full scan of a blob table.  The real lever is the
+    Arrow batch size — ``maxRecordsPerBatch`` rows/batch × avg_row_kb
+    must stay under batch_mb — which needs only arithmetic.  When the
+    caller knows the row count (Iceberg snapshot metadata / manifest
+    row counts are free), ``est_rows`` additionally right-sizes the
+    partition count; otherwise the input partitioning is kept (scan
+    tasks are already byte-bounded by files.maxPartitionBytes)."""
+    rows_per_batch = max(1, (batch_mb * 1024) // avg_row_kb)
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch)
+    )
+    if est_rows is not None:
+        return df.repartition(max(1, est_rows // rows_per_batch))
+    return df
 
 
 def extract_media_features(df: DataFrame,

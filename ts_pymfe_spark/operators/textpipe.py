@@ -102,15 +102,57 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+#: jaccard_pairs refuses un-banded corpora above this row bound — the
+#: shingle self-join is O(docs²) on common shingles by construction.
+JACCARD_MAX_DOCS = 100_000
+
+
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.3,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id", max_docs: int = JACCARD_MAX_DOCS,
+                  force: bool = False) -> DataFrame:
     """N-gram Jaccard near-dup pairs: explode distinct shingles,
     self-join on shingle, |∩| via count, |∪| = |A|+|B|−|∩|.
 
-    Scale note: raw shingle self-join explodes on common shingles; the
-    production path is minhash_lsh below — this exact variant is the
-    oracle/verifier.  Returns (doc_a, doc_b, jaccard) with doc_a<doc_b,
-    jaccard >= threshold."""
+    Scale guard: the raw shingle self-join explodes on common shingles
+    (O(docs²) worst case) — this exact variant exists as the
+    oracle/verifier for ``minhash_lsh_candidates``, which is the
+    production path.  To keep the foot-gun unloaded, the plan embeds a
+    row-count assertion: the job FAILS (cheap aggregate, before any
+    join work) if the corpus exceeds ``max_docs``, unless ``force=True``.
+    Returns (doc_a, doc_b, jaccard) with doc_a<doc_b, jaccard >=
+    threshold."""
+    if not force:
+        # plan-level guard: a broadcast 1-row bound check joined on a
+        # constant — no driver action, fails the job lazily if oversize
+        from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+        bound = (
+            df.groupBy()
+            .agg(F.count("*").alias("_n"))
+            .select(
+                F.assert_true(
+                    F.col("_n") <= max_docs,
+                    F.concat(
+                        F.lit(
+                            "jaccard_pairs: corpus has "
+                        ),
+                        F.col("_n").cast("string"),
+                        F.lit(
+                            f" docs > max_docs={max_docs}; the shingle "
+                            "self-join is O(docs^2) - use "
+                            "minhash_lsh_candidates, or pass force=True"
+                        ),
+                    ),
+                ).alias("_guard")
+            )
+        )
+        # referencing _guard in the filter keeps Catalyst from pruning
+        # the assertion away (it is NULL on success, throws otherwise)
+        df = (
+            df.crossJoin(F.broadcast(bound))
+            .where(F.col("_guard").isNull())
+            .drop("_guard")
+        )
     sh = shingles(df, n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
