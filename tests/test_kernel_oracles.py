@@ -579,3 +579,79 @@ def test_seeded_stats_deterministic(procs):
     assert abs(np.nanmean(r1) - x.mean()) < 3 * x.std(ddof=0) / math.sqrt(
         0.2 * x.size
     )
+
+
+# ---------------------------------------------------------------------------
+# STL decomposition (numpy re-derivation of Cleveland 1990)
+# ---------------------------------------------------------------------------
+
+def test_stl_exact_additivity_and_seasonal_recovery():
+    """STL must reproduce x = T + S + R exactly and recover a known
+    evolving seasonal component (the case classical per-phase means
+    cannot represent)."""
+    rng = np.random.default_rng(0)
+    n = 240
+    t = np.arange(n)
+    trend0 = 0.02 * t
+    season0 = 2.0 * np.sin(2 * np.pi * t / 12) * (1 + 0.3 * t / n)
+    x = trend0 + season0 + 0.3 * rng.standard_normal(n)
+    T, S, R = K.stl_decompose(x, 12)
+    assert np.allclose(T + S + R, x, atol=1e-10)
+    assert np.corrcoef(S, season0)[0, 1] > 0.99
+    # trend tracks the true line (loess, so ends may flare slightly)
+    assert np.sqrt(np.mean((T - trend0) ** 2)) < 0.5
+    # seasonal has (near-)zero mean per full cycle
+    assert abs(S[: 12 * (n // 12)].mean()) < 0.1
+
+
+def test_stl_beats_classical_on_evolving_seasonality():
+    """Quantifies the round-1 divergence: classical per-phase means are
+    constant over time, STL's loess-smoothed cycle-subseries follow
+    amplitude drift — so STL residual variance must be smaller on an
+    amplitude-modulated seasonal signal."""
+    rng = np.random.default_rng(1)
+    n = 240
+    t = np.arange(n)
+    x = (2.0 * np.sin(2 * np.pi * t / 12) * (1 + 0.5 * t / n)
+         + 0.2 * rng.standard_normal(n))
+    _, _, r_stl = K.stl_decompose(x, 12)
+    _, _, r_cls = K.classical_decompose(x, 12)
+    assert r_stl.var() < r_cls.var()
+
+
+def test_stl_constant_seasonal_matches_classical_closely():
+    """On a STATIONARY seasonal signal the two decompositions agree —
+    bounds the divergence for the benign case."""
+    rng = np.random.default_rng(2)
+    n = 240
+    t = np.arange(n)
+    x = 1.5 * np.sin(2 * np.pi * t / 12) + 0.1 * rng.standard_normal(n)
+    _, s_stl, _ = K.stl_decompose(x, 12)
+    _, s_cls, _ = K.classical_decompose(x, 12)
+    # interior agreement (both ends have edge effects)
+    core = slice(24, n - 24)
+    rms = np.sqrt(np.mean((s_stl[core] - s_cls[core]) ** 2))
+    assert rms < 0.1  # << the 1.5 seasonal amplitude
+
+
+def test_decompose_routes_seasonal_to_stl():
+    """decompose() uses STL when 1 < period <= n/2 (reference
+    _detrend.py:163-169 routing) and trend-only otherwise."""
+    rng = np.random.default_rng(3)
+    n = 240
+    t = np.arange(n)
+    x = np.sin(2 * np.pi * t / 12) + 0.05 * rng.standard_normal(n)
+    T, S, R = K.decompose(x, period=12)
+    Ts, Ss, Rs = K.stl_decompose(x, 12)
+    assert np.array_equal(S, Ss) and np.array_equal(T, Ts)
+    # non-seasonal branch: zero seasonal
+    _, S1, _ = K.decompose(rng.standard_normal(100), period=1)
+    assert np.all(S1 == 0)
+
+
+def test_loess_reproduces_line_exactly():
+    """Degree-1 loess is exact on affine data regardless of window."""
+    y = 3.0 + 2.0 * np.arange(50)
+    for q in (7, 21, 101):
+        sm = K._loess(y, q=q, degree=1)
+        assert np.allclose(sm, y, atol=1e-8)

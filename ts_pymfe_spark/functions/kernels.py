@@ -156,15 +156,108 @@ def first_local_min(arr: np.ndarray) -> float:
 # statsmodels/supersmoother are unavailable in this environment)
 # ---------------------------------------------------------------------------
 
-def _decompose_raw(ts: np.ndarray, period: int | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(trend, season, resid) additive decomposition.
+def _loess(y: np.ndarray, q: int, degree: int = 1,
+           xeval: np.ndarray | None = None) -> np.ndarray:
+    """1-D loess at integer design points (Cleveland 1979 as used inside
+    STL): for each evaluation point take the ``q`` nearest neighbours,
+    tricube weights, weighted degree-1 fit.  For q > n the
+    neighbourhood radius is inflated by q/n (STL paper §2).
 
-    trend: centered moving average (window = period if >1 else
-    max(3, n//10) forced odd, edges via shrinking window);
-    season: per-phase means of the detrended series, zero-sum
-    normalized (classical decomposition); resid = x − trend − season.
-    Reference counterpart: ``_detrend.py:117-182`` (STL when period>1
-    else Friedman SuperSmoother with zero seasonal)."""
+    Fully vectorized: on the regular integer grid the q-nearest
+    neighbourhood is a CONTIGUOUS window, so all evaluation points
+    batch into one (n_eval × q) weighted-regression einsum instead of a
+    Python loop (the loop form measured ~110 ms per 512-pt series —
+    ~20× this)."""
+    y = np.asarray(y, dtype=float)
+    n = y.size
+    if xeval is None:
+        xeval = np.arange(n, dtype=float)
+    xe = np.asarray(xeval, dtype=float)
+    if n == 1:
+        return np.full(xe.size, y[0])
+    qe = min(q, n)
+    half = (qe - 1) // 2
+    s = np.clip(np.rint(xe).astype(int) - half, 0, n - qe)
+    idx = s[:, None] + np.arange(qe)[None, :]
+    xc = idx - xe[:, None]
+    lam = np.maximum(xe - s, s + qe - 1 - xe)
+    if q > n:
+        lam = lam * (q / n)
+    lam = np.maximum(lam, 1e-300)
+    w = np.clip(1.0 - (np.abs(xc) / lam[:, None]) ** 3, 0.0, None) ** 3
+    Y = y[idx]
+    sw = w.sum(axis=1)
+    swx = (w * xc).sum(axis=1)
+    swxx = (w * xc * xc).sum(axis=1)
+    swy = (w * Y).sum(axis=1)
+    swxy = (w * xc * Y).sum(axis=1)
+    if degree == 0:
+        return swy / sw
+    det = sw * swxx - swx * swx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fit = (swxx * swy - swx * swxy) / det
+    # degenerate neighbourhood (all weight on one point): weighted mean
+    return np.where(det > 1e-12 * np.maximum(sw * swxx, 1e-300),
+                    fit, swy / np.maximum(sw, 1e-300))
+
+
+def _ma_valid(x: np.ndarray, w: int) -> np.ndarray:
+    """'valid' moving average: length n − w + 1."""
+    c = np.concatenate([[0.0], np.cumsum(x)])
+    return (c[w:] - c[:-w]) / w
+
+
+def stl_decompose(ts: np.ndarray, period: int, seasonal: int = 7,
+                  inner: int = 2) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Minimal STL (Cleveland, Cleveland, McRae & Terpenning 1990 — the
+    published algorithm the reference delegates to statsmodels for,
+    ``_detrend.py:100-115``), non-robust, no jump/skip optimizations:
+
+      per inner iteration:
+        1. detrend              D = x − T
+        2. cycle-subseries      loess(q=seasonal, d=1) per phase,
+                                extended one period on each side → C
+        3. low-pass on C        MA(period) ×2, MA(3), loess(q=lp, d=1)
+        4. seasonal             S = C[period:-period] − L
+        5. trend                T = loess(x − S, q=trend_len, d=1)
+
+    with the standard window defaults: trend_len = smallest odd ≥
+    1.5·period/(1 − 1.5/seasonal); low-pass = smallest odd > period.
+    Non-robust inner count 2 (statsmodels default for robust=False)."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    period = int(period)
+    tl = int(math.ceil(1.5 * period / (1 - 1.5 / seasonal)))
+    tl += 1 - tl % 2          # force odd
+    lp = period + 1 + (period % 2)  # smallest odd > period
+    T = np.zeros(n)
+    S = np.zeros(n)
+    for _ in range(inner):
+        D = x - T
+        C = np.empty(n + 2 * period)
+        for p in range(period):
+            sub = D[p::period]
+            m = sub.size
+            ev = np.arange(-1, m + 1, dtype=float)
+            sm = _loess(sub, q=seasonal, degree=1, xeval=ev)
+            # time of ev j is p + j*period; C index = time + period,
+            # so ev j lands at C[p + (j+1)*period]; ev=-1 at C[p]
+            idx = p + period + np.arange(m) * period
+            C[idx] = sm[1:-1]
+            C[p] = sm[0]
+            C[p + (m + 1) * period] = sm[-1]
+        L = _ma_valid(_ma_valid(_ma_valid(C, period), period), 3)
+        L = _loess(L, q=lp, degree=1)
+        S = C[period: period + n] - L
+        T = _loess(x - S, q=tl, degree=1)
+    return T, S, x - T - S
+
+
+def classical_decompose(ts: np.ndarray, period: int | None = None
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Classical MA + per-phase-means decomposition (the round-1
+    substitute, kept as the cheap fallback and as the comparison
+    baseline for the STL divergence test)."""
     x = np.asarray(ts, dtype=float)
     n = x.size
     if period is None:
@@ -173,7 +266,6 @@ def _decompose_raw(ts: np.ndarray, period: int | None = None) -> tuple[np.ndarra
     trend = _trend_ma(x, w)
     det = x - trend
     if period and period > 1:
-        season = np.zeros(n)
         phases = np.arange(n) % period
         means = np.array([det[phases == p].mean() if np.any(phases == p) else 0.0
                           for p in range(period)])
@@ -183,6 +275,24 @@ def _decompose_raw(ts: np.ndarray, period: int | None = None) -> tuple[np.ndarra
         season = np.zeros(n)
     resid = x - trend - season
     return trend, season, resid
+
+
+def _decompose_raw(ts: np.ndarray, period: int | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(trend, season, resid) additive decomposition, reference
+    structure (``_detrend.py:117-182``): STL (numpy re-derivation
+    above) when period > 1, else trend-only smoothing with zero
+    seasonal (reference uses Friedman's SuperSmoother there; this
+    engine uses the centered-MA smoother — documented divergence,
+    supersmoother wheel absent)."""
+    x = np.asarray(ts, dtype=float)
+    n = x.size
+    if period is None:
+        period = ts_period(x)
+    if period and 1 < period <= n // 2:
+        return stl_decompose(x, period)
+    trend = _trend_ma(x, max(3, n // 10))
+    season = np.zeros(n)
+    return trend, season, x - trend - season
 
 
 def ts_period(ts: np.ndarray) -> int:

@@ -48,34 +48,198 @@ FEATURE_SCHEMA = (
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests: seeded binary payloads
-    with plausible metadata."""
+    """Deterministic media table for tests: VALID payloads for the
+    natively-decodable containers (images = 24-bit BMP, audio =
+    RIFF/WAVE PCM16) so the decode -> feature path is exercised for
+    real; video stays an opaque seeded blob (compressed container,
+    decode legitimately stubbed)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        size = int(rng.integers(256, 4096))
-        payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        if kind == "image":
+            w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+            payload = encode_bmp(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            )
+        elif kind == "audio":
+            sr = 8000
+            dur = int(rng.integers(100, 2000))
+            t = np.arange(int(sr * dur / 1000.0)) / sr
+            f0 = float(rng.uniform(100, 1000))
+            payload = encode_wav(
+                0.5 * np.sin(2 * np.pi * f0 * t)
+                + 0.1 * rng.standard_normal(t.size),
+                sr,
+            )
+        else:
+            size = int(rng.integers(256, 4096))
+            payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+            w = h = None
+            dur = int(rng.integers(100, 60000))
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                int(rng.integers(16, 512)) if kind != "audio" else None,
-                int(rng.integers(16, 512)) if kind != "audio" else None,
-                int(rng.integers(100, 60000)) if kind != "image" else None,
+                {"image": "image/bmp", "audio": "audio/wav",
+                 "video": "video/mp4"}[kind],
+                w if kind != "audio" else None,
+                h if kind != "audio" else None,
+                dur if kind != "image" else None,
                 bytearray(payload),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Pure-numpy codecs for uncompressed containers (no PIL/libsndfile needed)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM16 mono.  (Public format spec —
+    the standard 44-byte canonical header.)"""
+    import struct
+
+    pcm = np.clip(np.asarray(samples, dtype=float), -1.0, 1.0)
+    data = (pcm * 32767.0).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 reader (chunk-walking, mono or first channel).
+    Returns (float samples in [-1, 1], sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    sample_rate, channels, bits = None, 1, 16
+    data = None
+    while pos + 8 <= n:
+        cid, csz = payload[pos:pos + 4], struct.unpack(
+            "<I", payload[pos + 4:pos + 8]
+        )[0]
+        body = payload[pos + 8: pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only PCM16 is decoded without audio libraries"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if data is None or sample_rate is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    pcm = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        pcm = pcm[::channels]
+    return pcm.astype(np.float64) / 32767.0, sample_rate
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal BMP writer: 24-bit uncompressed BITMAPINFOHEADER,
+    bottom-up rows with 4-byte padding.  ``pixels``: HxWx3 uint8 RGB."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    h, w, _ = px.shape
+    row_len = (w * 3 + 3) & ~3
+    pad = row_len - w * 3
+    body = bytearray()
+    for row in px[::-1]:          # bottom-up
+        body += row[:, ::-1].tobytes()  # BGR order
+        body += b"\x00" * pad
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP reader -> HxWx3 uint8 RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack("<I", payload[10:14])[0]
+    hsz, w, h, _, bits, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if bits != 24 or comp != 0:
+        raise NotImplementedError(
+            "only 24-bit uncompressed BMP is decoded without PIL"
+        )
+    row_len = (w * 3 + 3) & ~3
+    flip = h > 0
+    h = abs(h)
+    rows = []
+    for r in range(h):
+        start = off + r * row_len
+        row = np.frombuffer(payload[start:start + w * 3], dtype=np.uint8)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+    img = np.stack(rows)
+    return img[::-1] if flip else img
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real decode would be PIL/libvips; not installed in this container."""
+    """Image decode: real path for uncompressed BMP (pure numpy, above);
+    compressed formats (PNG/JPEG) require PIL/opencv which are not in
+    this container — those stay stubbed."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires PIL/opencv (not available in this "
-        "environment); use fake_decode for tests"
+        "compressed image decode (PNG/JPEG) requires PIL/opencv (not "
+        "available in this environment); BMP decodes natively, or use "
+        "fake_decode for tests"
+    )
+
+
+def media_features(payload: bytes) -> np.ndarray:
+    """Real decode -> feature path for natively-decodable containers:
+
+      WAV  -> [rms, zero-cross rate, peak, duration_s] + 12-bin
+              amplitude histogram (16 floats)
+      BMP  -> [mean R, G, B, contrast (std of luma)] + 12-bin luma
+              histogram (16 floats)
+
+    Raises NotImplementedError for compressed formats (stub retained)."""
+    if payload[:4] == b"RIFF":
+        x, sr = decode_wav(payload)
+        if x.size == 0:
+            return np.zeros(16, dtype=np.float32)
+        rms = float(np.sqrt(np.mean(x * x)))
+        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        peak = float(np.max(np.abs(x)))
+        dur = x.size / sr
+        hist, _ = np.histogram(x, bins=12, range=(-1.0, 1.0))
+        hist = hist / x.size
+        return np.concatenate([[rms, zcr, peak, dur], hist]).astype(np.float32)
+    if payload[:2] == b"BM":
+        img = decode_bmp(payload).astype(np.float64)
+        means = img.reshape(-1, 3).mean(axis=0) / 255.0
+        luma = img @ np.array([0.299, 0.587, 0.114])
+        contrast = float(luma.std() / 255.0)
+        hist, _ = np.histogram(luma, bins=12, range=(0.0, 255.0))
+        hist = hist / luma.size
+        return np.concatenate(
+            [means, [contrast], hist]
+        ).astype(np.float32)
+    raise NotImplementedError(
+        "compressed media decode requires external libraries; only "
+        "RIFF/WAVE PCM16 and 24-bit BMP decode natively"
     )
 
 
@@ -112,10 +276,17 @@ def repartition_for_media(df: DataFrame, batch_mb: int = 64,
 
 
 def extract_media_features(df: DataFrame,
-                           decode: Callable[[bytes], np.ndarray] = fake_decode,
+                           decode: Callable[[bytes], np.ndarray] | None = None,
                            ) -> DataFrame:
     """mapInPandas decode/feature-extract: (media table) ->
-    (media_id, kind, n_bytes, feature vector).  Narrow — no shuffle."""
+    (media_id, kind, n_bytes, feature vector).  Narrow — no shuffle.
+
+    Default decoder is ``media_features`` (REAL pure-numpy decode for
+    RIFF/WAVE PCM16 and 24-bit BMP); rows whose container needs an
+    external library (video/mp4 etc.) get feature=NULL via the
+    NotImplementedError containment below."""
+    if decode is None:
+        decode = media_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
