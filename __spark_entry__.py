@@ -1141,6 +1141,134 @@ def q_emb_label_stats(spark, sf_dir):
     )
 
 
+# embedding-cosine near-duplicate pairs (fifth dedup family): LSH
+# buckets from md5-derived hyperplanes -> within-bucket cosine filter.
+@register(
+    "emb_neardup",
+    f"""
+    WITH pl AS (
+      SELECT pp, list_transform(generate_series(0, 63), j ->
+        ({_HEX2INT.format(h="substring(md5('plane' || pp || ':' || j), 1, 8)")}
+         / 4294967296.0) * 2.0 - 1.0) AS w
+      FROM (SELECT unnest(generate_series(0, 7)) AS pp)),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sig AS (
+      SELECT e.vec_id,
+             string_agg(CASE WHEN list_dot_product(e.e, pl.w) > 0
+                             THEN '1' ELSE '0' END, '' ORDER BY pl.pp)
+               AS bucket
+      FROM e CROSS JOIN pl GROUP BY e.vec_id),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(ea.e, eb.e)
+               / (sqrt(list_dot_product(ea.e, ea.e))
+                  * sqrt(list_dot_product(eb.e, eb.e))) AS cos
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id)
+    SELECT id_a, id_b, round(cos, 6) + 0.0 AS cos
+    FROM pairs WHERE cos >= 0.3
+    """,
+)
+def q_emb_neardup(spark, sf_dir):
+    out = TP.embedding_neardup_pairs(
+        read(spark, sf_dir, "embeddings"), threshold=0.3, dim=64
+    )
+    return out.select(
+        "id_a", "id_b", (r(F.col("cos")) + F.lit(0.0)).alias("cos")
+    )
+
+
+# exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
+# approximation) — window-sum algebra identical on both engines.
+@register(
+    "moving_acf",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    s2 AS (
+      SELECT conv_id, turn_idx, value,
+             lead(value) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS nxt
+      FROM s),
+    w AS (
+      SELECT conv_id, turn_idx, value,
+             row_number() OVER ord AS rn,
+             count(*) OVER (PARTITION BY conv_id) AS n,
+             count(*) OVER fr AS wn,
+             sum(value) OVER fr AS s1,
+             sum(value * value) OVER fr AS s2,
+             sum(value) OVER fr_lo AS a,
+             sum(value) OVER fr_hi AS b,
+             sum(value * nxt) OVER fr_lo AS p
+      FROM s2
+      WINDOW ord AS (PARTITION BY conv_id ORDER BY turn_idx),
+             fr AS (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+             fr_lo AS (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING),
+             fr_hi AS (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 2 PRECEDING AND 3 FOLLOWING)),
+    c AS (
+      SELECT conv_id, turn_idx,
+             (p - (s1/wn) * (a + b) + (wn - 1) * (s1/wn) * (s1/wn))
+               / (wn - 1) AS num,
+             (s2 - s1 * s1 / wn) / wn AS den
+      FROM w WHERE rn > 3 AND rn <= n - 3)
+    SELECT conv_id, turn_idx,
+           CASE WHEN den > 0 THEN round(num / den, 6) + 0.0 END AS macf
+    FROM c
+    """,
+)
+def q_moving_acf(spark, sf_dir):
+    out = LS.rolling(_series(spark, sf_dir), "moving_acf", 3)
+    return out.select(
+        "conv_id", "turn_idx",
+        (r(F.col("stat")) + F.lit(0.0)).alias("macf"),
+    )
+
+
+# reference rescale parity: min-max and robust scaler modes
+@register(
+    "rescale_minmax",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    mm AS (SELECT conv_id, min(value) AS mn, max(value) AS mx
+           FROM s GROUP BY conv_id)
+    SELECT s.conv_id, s.turn_idx,
+           round((s.value - mm.mn) / (mm.mx - mm.mn), 6) + 0.0 AS v_scaled
+    FROM s JOIN mm USING (conv_id)
+    """,
+)
+def q_rescale_minmax(spark, sf_dir):
+    out = LS.rescale(_series(spark, sf_dir), "min-max")
+    return out.select(
+        "conv_id", "turn_idx",
+        (r(F.col("value_scaled")) + F.lit(0.0)).alias("v_scaled"),
+    )
+
+
+@register(
+    "rescale_robust",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    qq AS (SELECT conv_id,
+                  quantile_cont(value, 0.25) AS q1,
+                  quantile_cont(value, 0.5) AS q2,
+                  quantile_cont(value, 0.75) AS q3
+           FROM s GROUP BY conv_id)
+    SELECT s.conv_id, s.turn_idx,
+           round((s.value - qq.q2) / (qq.q3 - qq.q1), 6) + 0.0 AS v_scaled
+    FROM s JOIN qq USING (conv_id)
+    """,
+)
+def q_rescale_robust(spark, sf_dir):
+    out = LS.rescale(_series(spark, sf_dir), "robust")
+    return out.select(
+        "conv_id", "turn_idx",
+        (r(F.col("value_scaled")) + F.lit(0.0)).alias("v_scaled"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------

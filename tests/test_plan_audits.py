@@ -1,0 +1,116 @@
+"""Physical-plan audits: assert the *shape* of the plans Catalyst
+produces for the scale-critical operators — shuffle counts, broadcast
+strategies, column pruning, window-frame direction.  These are the
+machine-checked versions of the claims in SURVEY.md §6 / BENCH docs:
+a regression that adds a shuffle or un-prunes the scan fails here, not
+in a 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from ts_pymfe_spark.operators import textpipe as TP
+from ts_pymfe_spark.operators.derive import derive_series
+from ts_pymfe_spark.operators.gapfill import gapfill
+from ts_pymfe_spark.operators.rollup import rollup_raw
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_extract_is_exactly_two_shuffles(spark, turns):
+    """The flagship extract = kernel stage + summary stage — two
+    groupBy(applyInPandas) exchanges, nothing else (no global sort:
+    round 1's orderBy would show a rangepartitioning Exchange here)."""
+    from ts_pymfe_spark.api import TSMFESpark
+
+    eng = TSMFESpark(features=["dw", "acf"], summaries=("mean",))
+    p = plan(eng.extract(derive_series(turns)))
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "rangepartitioning" not in p  # the dropped global orderBy
+
+
+def test_rollup_unsalted_single_shuffle_with_partial_agg(spark, turns):
+    df = rollup_raw(derive_series(turns), "1m", salted=False)
+    p = plan(df)
+    assert p.count("Exchange") == 1
+    # map-side combine: partial aggregation before the exchange
+    assert "partial_" in p.lower() or "HashAggregate" in p
+
+
+def test_ann_topk_never_shuffles_the_corpus(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = TP.cosine_topk(emb.filter("vec_id >= 5"), emb.filter("vec_id < 5"))
+    p = plan(df)
+    # query side broadcast; corpus side stays un-exchanged until the
+    # tiny top-k window (rank over query_id) — no SortMergeJoin ever
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ann_lsh_is_broadcast_hash_join_on_bucket(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = TP.lsh_bucketed_topk(
+        emb.filter("vec_id >= 5"), emb.filter("vec_id < 5"), dim=64
+    )
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    # the 1-row hyperplane relation and the query set broadcast
+    assert p.count("BroadcastExchange") >= 1
+
+
+def test_gapfill_has_no_unbounded_following_frames(spark, turns):
+    """The O(n²) WindowExec trap: 'next non-null' must be expressed as
+    a DESCENDING running frame, never UNBOUNDED FOLLOWING."""
+    b = (
+        derive_series(turns)
+        .filter("series = 'text_len'")
+        .groupBy("conv_id", F.date_trunc("minute", "ts").alias("bucket_start"))
+        .agg(F.sum("value").alias("v"))
+        .withColumn("series", F.lit("text_len"))
+    )
+    p = plan(gapfill(b, 60, "v", method="interp"))
+    assert "unboundedfollowing" not in p.lower()
+
+
+def test_trev_query_prunes_parquet_columns(spark):
+    """The driver trev query needs (user_id, event_id, value) [+ts in
+    the shared series projection]; the parquet ReadSchema must not
+    carry the rest of the events table."""
+    df = entry.queries()["trev"](spark, SF_DIR)
+    p = plan(df)
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan, "no parquet scan found in plan"
+    line = scan[0]
+    assert "value" in line
+    # events has more columns (e.g. event_type/payload-ish) that the
+    # query never touches; a full-width read would list them here
+    width = line.split("ReadSchema:")[1]
+    assert width.count(",") <= 3, f"scan too wide: {width}"
+
+
+def test_jaccard_guard_is_plan_resident(spark):
+    """The O(docs²) guard must survive optimization (Catalyst prunes
+    unreferenced projections — the filter anchor keeps it)."""
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e").alias("text")
+    )
+    p = optimized(TP.jaccard_pairs(docs, max_docs=5))
+    assert "assert_true" in p or "raise_error" in p
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(TP.minhash_lsh_candidates(docs))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

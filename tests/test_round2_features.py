@@ -191,3 +191,38 @@ def test_decode_image_dispatches_bmp_and_stubs_compressed():
     assert decode_image(encode_bmp(img)).shape == (3, 3, 3)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_moving_acf_sql_exact_vs_kernel(spark, small_series):
+    """The SQL moving_acf is now the EXACT rolling adjusted lag-1 ACF
+    (round 1 shipped a Pearson-corr approximation).  Oracle: the numpy
+    kernel moving_stat('acf') — ACF is affine-invariant, so the
+    kernel's z-scoring does not change values."""
+    from ts_pymfe_spark.functions.kernels import _win_size, moving_stat
+    from ts_pymfe_spark.operators import local_stats as LS
+
+    pdf = small_series.toPandas().sort_values(["conv_id", "turn_idx"])
+    for conv, g in pdf.groupby("conv_id"):
+        x = g["value"].to_numpy(dtype=float)
+        w = _win_size(x.size, 0.1)
+        k = (w - 1) // 2
+        got = (
+            LS.rolling(
+                small_series.filter(F.col("conv_id") == conv),
+                "moving_acf", k,
+            )
+            .orderBy("turn_idx")
+            .toPandas()["stat"]
+            .to_numpy(dtype=float)
+        )
+        expect = moving_stat(x, "acf", 0.1)
+        assert got.shape == expect.shape
+        # constant windows: SQL yields a principled NULL (den == 0
+        # exactly on raw values); the kernel reproduces the reference's
+        # z-score float-noise artifact (0/0 -> ~1.0).  Exclude them.
+        win = np.lib.stride_tricks.sliding_window_view(x, w)
+        const = win.ptp(axis=1) == 0
+        keep = ~const & ~(np.isnan(got) & np.isnan(expect))
+        np.testing.assert_allclose(
+            got[keep], expect[keep], rtol=1e-8, atol=1e-10
+        )

@@ -132,11 +132,26 @@ def rolling(df: DataFrame, stat: str, k: int, value: str = "value",
     postprocessor, local_stats.py:113-173)."""
     v = F.col(value)
     if stat == "moving_acf":
-        # rolling lag-1 autocorrelation approximation: Pearson corr of
-        # the frame with its lagged copy (exact adjusted-ACF rolling
-        # kernel lives in arrow_kernels; reference local_stats.py:1031)
-        df = df.withColumn("_lag1", F.lag(value, 1).over(_w()))
-        c = F.corr(v, F.col("_lag1")).over(_frame(k))
+        # EXACT rolling adjusted lag-1 ACF (reference
+        # local_stats.py:1031-1086, kernel form moving_stat('acf')):
+        #   num = Σ_{j<w}(v_j−μ)(v_{j+1}−μ)/(w−1),  den = Σ(v_j−μ)²/w
+        # expanded into pure window sums (one shuffle, all JVM-side):
+        # pair products over frame [−k, k−1], value sums over the two
+        # off-by-one frames, centered via μ algebraically.
+        df = df.withColumn("_nxt", F.lead(value, 1).over(_w()))
+        fr = _frame(k)
+        fr_lo = _w().rowsBetween(-k, k - 1)
+        fr_hi = _w().rowsBetween(-k + 1, k)
+        w_n = F.count(v).over(fr).cast("double")
+        s1 = F.sum(v).over(fr)
+        s2 = F.sum(v * v).over(fr)
+        mu = s1 / w_n
+        p = F.sum(v * F.col("_nxt")).over(fr_lo)
+        a = F.sum(v).over(fr_lo)
+        b = F.sum(v).over(fr_hi)
+        num = (p - mu * (a + b) + (w_n - 1) * mu * mu) / (w_n - 1)
+        den = (s2 - s1 * s1 / w_n) / w_n
+        c = F.when(den > 0, num / den)
     elif stat == "moving_skewness":
         c = _moment_over_frame(v, k, "skew")
     elif stat == "moving_kurtosis":
@@ -146,7 +161,7 @@ def rolling(df: DataFrame, stat: str, k: int, value: str = "value",
     else:
         raise ValueError(f"unknown rolling stat: {stat}")
 
-    res = df.withColumn(out, c).drop("_lag1")
+    res = df.withColumn(out, c).drop("_nxt")
     if drop_edges:
         w = _w()
         rn = F.row_number().over(w)

@@ -353,6 +353,42 @@ def hyperplanes(spark, num_planes: int, dim: int) -> DataFrame:
     return spark.range(1).select(w.alias("_planes"))
 
 
+def with_lsh_bucket(df: DataFrame, num_planes: int, dim: int,
+                    emb: str = "embedding") -> DataFrame:
+    """Adds a ``bucket`` column: the sign pattern of the md5-derived
+    hyperplane projections (broadcast 1-row planes; JVM-side dot
+    products; no shuffle)."""
+    planes_df = hyperplanes(df.sparkSession, num_planes, dim)
+    d = _as_double(emb)
+    bits = F.transform(
+        F.col("_planes"),
+        lambda pl: F.when(
+            F.aggregate(
+                F.zip_with(d, pl, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return (
+        df.crossJoin(F.broadcast(planes_df))
+        .select("*", F.concat_ws("", bits).alias("bucket"))
+        .drop("_planes")
+    )
+
+
+def _require_dim(dim: int | None, op: str) -> int:
+    if dim is None:
+        raise ValueError(
+            f"{op} requires dim= (embedding width); it is a schema fact "
+            "— probing the data from the driver is a full extra pass at "
+            "scale"
+        )
+    return dim
+
+
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                       num_planes: int = 8, dim: int | None = None,
                       id_col: str = "vec_id", emb: str = "embedding") -> DataFrame:
@@ -363,33 +399,10 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     oracle, and the md5 derivation makes the bucketing itself exactly
     reproducible in ANSI SQL.  ``dim`` is the embedding width — a
     schema-level fact the caller supplies; no data probe happens here."""
-    if dim is None:
-        raise ValueError(
-            "lsh_bucketed_topk requires dim= (embedding width); it is a "
-            "schema fact — probing the data from the driver is a full "
-            "extra pass at scale"
-        )
-    planes_df = hyperplanes(corpus.sparkSession, num_planes, dim)
+    dim = _require_dim(dim, "lsh_bucketed_topk")
 
     def sig(df: DataFrame) -> DataFrame:
-        d = _as_double(emb)
-        bits = F.transform(
-            F.col("_planes"),
-            lambda pl: F.when(
-                F.aggregate(
-                    F.zip_with(d, pl, lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
-        )
-        return (
-            df.crossJoin(F.broadcast(planes_df))
-            .select("*", F.concat_ws("", bits).alias("bucket"))
-            .drop("_planes")
-        )
+        return with_lsh_bucket(df, num_planes, dim, emb)
 
     q = sig(queries).select(
         F.col(id_col).alias("query_id"),
@@ -417,4 +430,43 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.3,
+                            num_planes: int = 8, dim: int | None = None,
+                            id_col: str = "vec_id",
+                            emb: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup family
+    (exact / minhash-LSH / simhash / n-gram-jaccard / embedding-cosine).
+
+    Scale shape: LSH-bucket by md5-derived hyperplane signs first (one
+    narrow pass), then self-join ONLY within buckets — shuffle is
+    O(Σ bucket²) not O(corpus²); with b well-chosen planes the expected
+    bucket is corpus/2^b.  The md5 derivation makes the bucketing
+    reproducible in ANSI SQL, so this operator has an exact DuckDB
+    oracle (recall relative to the all-pairs ground truth is the usual
+    LSH trade-off; raise num_planes for precision, add band rotations
+    for recall).
+
+    Returns (id_a, id_b, cos) with id_a < id_b and cos >= threshold."""
+    dim = _require_dim(dim, "embedding_neardup_pairs")
+    sig = with_lsh_bucket(df, num_planes, dim, emb)
+    a = sig.select(
+        F.col(id_col).alias("id_a"), _as_double(emb).alias("_ea"), "bucket"
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), _as_double(emb).alias("_eb"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("_ea", "_eb", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate("_ea", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("_eb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (na * nb)).alias("cos"))
+        .filter(F.col("cos") >= threshold)
     )
