@@ -79,3 +79,48 @@ def test_streaming_rollup_matches_batch(spark, turns, tmp_path):
     np.testing.assert_array_equal(
         got["first_v"].to_numpy(), exp["first_v"].to_numpy()
     )
+
+
+def test_stateful_sessionizer_matches_batch_oracle(spark, turns, tmp_path):
+    """applyInPandasWithState sessionizer: multi-microbatch streaming
+    run (file source, 2 files per trigger) must equal the one-pass
+    batch window oracle — state survives across batches."""
+    from ts_pymfe_spark.streaming.rollup_stream import stream_turns
+    from ts_pymfe_spark.streaming.stateful import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    in_dir = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+    # several files -> several microbatches; repartition by conv so one
+    # conversation spans multiple batches (the stateful part)
+    turns.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    out = sessionize_stream(stream_turns(spark, in_dir, 2), gap_seconds=600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.table("sessions")
+        .orderBy("conv_id", "ts", "turn_idx")
+        .toPandas()
+    )
+    exp = (
+        sessionize_batch(turns, gap_seconds=600)
+        .orderBy("conv_id", "ts", "turn_idx")
+        .toPandas()
+    )
+    assert len(got) == len(exp) > 0
+    np.testing.assert_array_equal(
+        got["session_id"].to_numpy(), exp["session_id"].to_numpy()
+    )
+    # sanity: gaps actually produced multiple sessions somewhere
+    assert got.groupby("conv_id")["session_id"].max().max() >= 1

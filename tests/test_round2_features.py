@@ -226,3 +226,25 @@ def test_moving_acf_sql_exact_vs_kernel(spark, small_series):
         np.testing.assert_allclose(
             got[keep], expect[keep], rtol=1e-8, atol=1e-10
         )
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF ANN (k-means lists + nprobe probing): recall@3 against the
+    brute-force cosine oracle must be high at nprobe=4/16 lists, and
+    must not decrease when nprobe grows."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    corpus, queries = emb.filter("vec_id >= 20"), emb.filter("vec_id < 20")
+    cents = TP.ivf_train_centroids(corpus, n_lists=16, seed=7)
+    assert len(cents) == 16 and len(cents[0]) == 64
+
+    truth = TP.cosine_topk(corpus, queries, k=3).toPandas()
+    truth_set = set(zip(truth.query_id, truth.neighbor_id))
+
+    def recall(nprobe):
+        got = TP.ivf_topk(corpus, queries, cents, k=3, nprobe=nprobe).toPandas()
+        hit = sum((q, n) in truth_set for q, n in zip(got.query_id, got.neighbor_id))
+        return hit / len(truth_set)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= r2
+    assert r8 >= 0.6, f"recall@nprobe=8 too low: {r8}"

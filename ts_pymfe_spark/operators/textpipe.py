@@ -470,3 +470,104 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.3,
         .select("id_a", "id_b", (dot / (na * nb)).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + per-list search
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(corpus: DataFrame, n_lists: int = 16,
+                        sample_frac: float = 1.0, seed: int = 42,
+                        emb: str = "embedding") -> list[list[float]]:
+    """Train the IVF coarse quantizer (k-means via Spark MLlib's
+    distributed kmeans||).  Returns the k×dim centroid matrix — model
+    parameters, driver-sized by definition (k·dim floats), NOT data.
+
+    At 100 TB you train on a sample (``sample_frac``) — k-means
+    needs only enough points to place k centroids."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus if sample_frac >= 1.0 else corpus.sample(sample_frac, seed)
+    feats = df.select(array_to_vector(_as_double(emb)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _with_nearest_lists(df: DataFrame, centroids: list[list[float]],
+                        nprobe: int, emb: str,
+                        out: str = "_list") -> DataFrame:
+    """Adds ``out`` = array of the ``nprobe`` nearest centroid ids by
+    L2, computed JVM-side against a broadcast 1-row centroid relation
+    (same no-literal/no-driver-probe pattern as the LSH planes)."""
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(centroids,)], "cents: array<array<double>>"
+    )
+    d = _as_double(emb)
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.aggregate(
+            F.zip_with(d, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # rank centroid ids by distance: sort (dist, id) structs
+    ranked = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.size(F.col("cents")) - 1),
+                lambda dd, i: F.struct(dd.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s["i"],
+    )
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn(out, F.slice(ranked, 1, nprobe))
+        .drop("cents")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             centroids: list[list[float]], k: int = 3, nprobe: int = 2,
+             id_col: str = "vec_id", emb: str = "embedding") -> DataFrame:
+    """IVF ANN search: corpus rows live in their single nearest list;
+    each query probes its ``nprobe`` nearest lists; cosine top-k within
+    the probed lists only.
+
+    Scale shape: the corpus is hash-joined on the (small-cardinality)
+    list id — shuffle O(corpus) once, no pairwise blowup; recall rises
+    with nprobe (brute-force ``cosine_topk`` is the recall oracle)."""
+    c = _with_nearest_lists(corpus, centroids, 1, emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(emb).alias("_ce"),
+        F.col("_list")[0].alias("list_id"),
+    )
+    q = (
+        _with_nearest_lists(queries, centroids, nprobe, emb)
+        .select(
+            F.col(id_col).alias("query_id"),
+            _as_double(emb).alias("_qe"),
+            F.explode("_list").alias("list_id"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("_qe", "_ce", lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = F.sqrt(F.aggregate("_qe", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("_ce", F.lit(0.0), lambda a, x: a + x * x))
+    scored = c.join(F.broadcast(q), "list_id").select(
+        "query_id", "neighbor_id", (dot / (qn * cn)).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
