@@ -85,8 +85,15 @@ def cascade_job(spark, turns_path: str) -> None:
 def feature_job(spark, turns_path: str, min_turns: int = 32) -> int:
     """Per-series Arrow-kernel feature extraction over the active
     (Zipf-head) conversations — the engine's compute-bound path:
-    embarrassingly parallel over conversations, no shuffle barriers
-    beyond the initial groupBy, Python workers saturate all cores."""
+    embarrassingly parallel over conversations.
+
+    Design note (measured both ways at SF=4): the aggregate +
+    broadcast-semi-join pre-filter costs an extra scan but SHRINKS the
+    expensive applyInPandas shuffle to the ~10% active rows; pushing
+    the filter into the kernel instead (series_features(min_points=…))
+    shuffles all 47M rows into ~4M mostly-tiny groups and the per-group
+    Arrow iteration overhead dominates (>10 min vs ~30 s).  Group-count
+    matters more than byte-count for grouped-UDF stages."""
     from pyspark.sql import functions as F
 
     from ts_pymfe_spark.operators.arrow_kernels import series_features
@@ -94,8 +101,6 @@ def feature_job(spark, turns_path: str, min_turns: int = 32) -> int:
 
     turns = spark.read.parquet(turns_path)
     s = series_of(turns, "text_len")
-    # active-conversation selection via aggregate + broadcast semi-join:
-    # one cheap map-side-combined aggregate instead of a full-window pass
     active_ids = (
         s.groupBy("conv_id").count().filter(F.col("count") >= min_turns)
         .select("conv_id")
@@ -219,22 +224,28 @@ def host_probe(procs: int = 32, seconds: float = 2.0) -> float:
     return round(procs * seconds / wall, 1)
 
 
-def _cascade_once(cpus: int, turns_path: str) -> None:
-    """Subprocess entry: one warmed, timed cascade; prints JSON."""
+_JOBS = {"cascade": cascade_job, "feature": feature_job}
+
+
+def _job_once(job_name: str, cpus: int, turns_path: str) -> None:
+    """Subprocess entry: one warmed, timed job run; prints JSON."""
     from ts_pymfe_spark.session import get_spark
 
-    spark = get_spark(f"bench_c{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    job = _JOBS[job_name]
+    spark = get_spark(f"bench_{job_name}{cpus}", cpus=cpus,
+                      shuffle_partitions=cpus)
     n = spark.read.parquet(turns_path).count()
-    cascade_job(spark, turns_path)  # untimed warm-up (JIT)
+    job(spark, turns_path)  # untimed warm-up (JIT + python worker pool)
     t0 = time.perf_counter()
-    cascade_job(spark, turns_path)
+    job(spark, turns_path)
     dt = time.perf_counter() - t0
     spark.stop()
     print(json.dumps({"cpus": cpus, "sec": round(dt, 3), "turns": n}))
 
 
 def interleaved_scaling(turns_path: str, levels=(8, 32),
-                        reps: int = SCALING_REPS) -> dict[str, float]:
+                        reps: int = SCALING_REPS,
+                        job: str = "cascade") -> dict[str, float]:
     """The N->4N evidence (BASELINE.md:16: local[8] vs local[32]).
 
     Methodology (round-2, replaces same-session min-of-reps):
@@ -257,7 +268,7 @@ def interleaved_scaling(turns_path: str, levels=(8, 32),
             probes.append(host_probe())
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--cascade-once", str(cpus), turns_path],
+                 "--job-once", job, str(cpus), turns_path],
                 capture_output=True, text=True, timeout=1800,
             )
             line = proc.stdout.strip().splitlines()[-1]
@@ -265,17 +276,17 @@ def interleaved_scaling(turns_path: str, levels=(8, 32),
             times[cpus].append(rec["sec"])
             turns = rec["turns"]
     probes.append(host_probe())
-    out: dict[str, float] = {"cascade_input_turns": turns}
+    out: dict[str, float] = {f"{job}_input_turns": turns}
     for c in levels:
         t = min(times[c])
-        out[f"cascade_local{c}_sec"] = round(t, 3)
-        out[f"cascade_points_per_sec_local{c}"] = round(turns / t, 1)
-        out[f"cascade_local{c}_reps"] = [round(x, 2) for x in times[c]]
+        out[f"{job}_local{c}_sec"] = round(t, 3)
+        out[f"{job}_points_per_sec_local{c}"] = round(turns / t, 1)
+        out[f"{job}_local{c}_reps"] = [round(x, 2) for x in times[c]]
     for a, b in zip(levels, levels[1:]):
-        out[f"scaling_efficiency_{a}_to_{b}"] = round(
+        out[f"{job}_scaling_efficiency_{a}_to_{b}"] = round(
             min(times[a]) / ((b / a) * min(times[b])), 3
         )
-    out["host_probe_effective_cores"] = probes
+    out[f"{job}_host_probe_effective_cores"] = probes
     return out
 
 
@@ -305,14 +316,17 @@ def main() -> None:
         saved = (SCALING_SF, SYNTH_CACHE)
         SCALING_SF, SYNTH_CACHE = 1.0, "/tmp/ts_pymfe_spark_bench_turns_sf1.0"
         p1 = ensure_synth_input()
-        r28 = interleaved_scaling(p1, levels=(2, 8), reps=3)
+        r28 = interleaved_scaling(p1, levels=(2, 8), reps=4)
         SCALING_SF, SYNTH_CACHE = 4.0, "/tmp/ts_pymfe_spark_bench_turns_sf4.0"
         p4 = ensure_synth_input()
         r832 = interleaved_scaling(p4, levels=(8, 32), reps=2)
+        f832 = interleaved_scaling(p4, levels=(8, 32), reps=2, job="feature")
         SCALING_SF, SYNTH_CACHE = saved
         for k, v in r28.items():
             queries[f"sf1_{k}"] = v
         for k, v in r832.items():
+            queries[f"sf4_{k}"] = v
+        for k, v in f832.items():
             queries[f"sf4_{k}"] = v
         queries["membw_GBps_8_streams"] = membw_probe(8)
         queries["membw_GBps_32_streams"] = membw_probe(32)
@@ -335,7 +349,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 4 and sys.argv[1] == "--cascade-once":
-        _cascade_once(int(sys.argv[2]), sys.argv[3])
+    if len(sys.argv) >= 5 and sys.argv[1] == "--job-once":
+        _job_once(sys.argv[2], int(sys.argv[3]), sys.argv[4])
     else:
         main()

@@ -448,8 +448,15 @@ def series_features(
     order_col: str = "turn_idx",
     value_col: str = "value",
     measure_time: bool = False,
+    parallelism: int | None = None,
+    min_points: int = 0,
 ) -> DataFrame:
     """Long feature table over per-series Arrow kernels.
+
+    ``min_points``: skip series shorter than this INSIDE the kernel
+    (empty output for the group) — one scan + one shuffle, instead of
+    the aggregate + broadcast-semi-join pre-filter pattern which costs
+    an extra full pass over the input.
 
     Input: (conv_id[, series], turn_idx, value).  Output rows
     (conv_id, series, feature, idx, value); scalar features have
@@ -461,12 +468,30 @@ def series_features(
 
     ``measure_time``: add a ``wall_ms`` column = wall-clock of the
     feature's kernel call (reference ``measure_time='total'``,
-    tsmfe.py:128-165; array rows of one feature share the value)."""
+    tsmfe.py:128-165; array rows of one feature share the value).
+
+    ``parallelism``: partition count for the kernel stage.  AQE's
+    bytes-based partition coalescing is WRONG for compute-bound Arrow
+    stages — a few MB of series data can carry minutes of kernel CPU,
+    and AQE happily coalesces it to 2-3 tasks (measured: 3 partitions
+    for 2109 series at local[32] — a 10× parallelism collapse).  An
+    explicit numbered repartition on the group keys opts out of AQE
+    coalescing AND satisfies the groupBy's required clustering, so no
+    second shuffle is added.  Default: 2× defaultParallelism."""
     names = _resolve_features(features)
     has_series = "series" in df.columns
     keys = ["conv_id", "series"] if has_series else ["conv_id"]
+    if parallelism is None:
+        parallelism = 2 * df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(parallelism, *keys)
+
+    empty_cols = ["conv_id", "series", "feature", "idx", "value"] + (
+        ["wall_ms"] if measure_time else []
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < min_points:
+            return pd.DataFrame({c: [] for c in empty_cols})
         pdf = pdf.sort_values(order_col)
         if len(pdf) > max_points:
             pdf = pdf.iloc[-max_points:]
@@ -526,6 +551,7 @@ def bootstrap_series_features(
     order_col: str = "turn_idx",
     value_col: str = "value",
     base_seed: int = 1234,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Kernel features on ``sample_num`` bootstrap resamples per series
     (reference ``extract_with_confidence``, tsmfe.py:1079-1248 /
@@ -539,6 +565,9 @@ def bootstrap_series_features(
     names = _resolve_features(features)
     has_series = "series" in df.columns
     keys = ["conv_id", "series"] if has_series else ["conv_id"]
+    if parallelism is None:
+        parallelism = 2 * df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(parallelism, *keys)  # see series_features note
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
