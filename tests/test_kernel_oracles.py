@@ -655,3 +655,143 @@ def test_loess_reproduces_line_exactly():
     for q in (7, 21, 101):
         sm = K._loess(y, q=q, degree=1)
         assert np.allclose(sm, y, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: remaining self-only rows (selectors, spectral pickers,
+# landmarker families, perturbation/surprise, embedding lag)
+# ---------------------------------------------------------------------------
+
+def test_first_acf_selectors_hand_arrays():
+    """first-nonsig / first-nonpos / first-local-min on hand arrays
+    (1-based lag indexing, reference autocorr.py:562-708)."""
+    a = np.array([0.9, 0.5, 0.15, -0.2, 0.1])
+    # n=100 -> crit 0.196: first |acf| <= crit is lag 3
+    assert K.first_acf_nonsig(a, 100) == 3.0
+    assert K.first_acf_nonpos(a) == 4.0          # first <= 0
+    b = np.array([0.9, 0.4, 0.6, 0.2, 0.5])
+    assert K.first_local_min(b) == 2.0           # a[1] < both neighbours
+    assert np.isnan(K.first_acf_nonpos(np.array([0.5, 0.4])))
+    assert np.isnan(K.first_local_min(np.array([1.0, 2.0])))
+
+
+def test_spectral_pickers_hand_arrays():
+    p = np.array([1.0, 5.0, 3.0, 0.5, 4.0, 2.0])
+    # top ceil(0.34*6)=3 powers, descending
+    assert list(K.ps_freqs_topk(p, frac=0.34)) == [5.0, 4.0, 3.0]
+    # indicator power >= 0.6*max(=3.0)
+    assert list(K.ps_peaks(p, factor=0.6)) == [0.0, 1.0, 1.0, 0.0, 1.0, 0.0]
+
+
+def test_emb_lag_is_first_acf_zero_crossing(procs):
+    """For a pure sine of period 12 the ACF is cos(2πk/12): the zero
+    crossing sits exactly at the quarter period k=3 (finite-sample
+    adjusted ACF can leave lag 3 a hair above zero, pushing the first
+    NON-positive lag to 4 — both witness the quarter-period rule)."""
+    assert K.emb_lag(procs["sine12"]) in (3, 4)
+
+
+def test_surprise_hand_semantics():
+    """'distribution' strategy: P = frequency of the current bin in the
+    memory window of the DIFFERENCED series; zero-prob maps to surprise
+    0 (reference probs<eps -> 1.0).  On a period-2 alternating series
+    every diff is ±c alternating, so with num_bins=2 the memory always
+    contains the current symbol with frequency ~1/2."""
+    x = np.array([0.0, 1.0] * 40)
+    s = K.surprise(x, num_bins=2, memory_size=0.25, random_state=7)
+    assert s.size > 0
+    # alternating ±1 diffs: each bin holds half the memory window; the
+    # exact frequency wobbles by one element with window parity
+    assert np.all(s > 0.4) and np.all(s < 1.1)
+    assert np.allclose(np.exp(-s), 0.5, atol=0.15)
+
+
+def test_itrand_perturbation_converges_to_noise(procs):
+    """Iterative perturbation replaces values with resampled ones; the
+    lag-1 ACF trajectory of a smooth series must decay toward ~0 as the
+    series is progressively randomized (reference randomize.py
+    semantics), and the run is seed-deterministic."""
+    x = procs["sine12"][:200]
+
+    def acf1(v):
+        vv = v - v.mean()
+        return float((vv[:-1] * vv[1:]).mean() / (vv * vv).mean())
+
+    traj = K.itrand_stat(x, acf1, random_state=11)
+    traj2 = K.itrand_stat(x, acf1, random_state=11)
+    assert np.array_equal(traj, traj2)
+    assert traj[0] > 0.8                      # smooth at start
+    assert abs(np.mean(traj[-3:])) < 0.35     # randomized at the end
+
+
+def test_ses_landmarker_flat_series_and_ordering():
+    """SES forecasts a level: exact on a constant series; on a strong
+    trend it must lose to the linear landmarker."""
+    n = 240
+    const = np.full(n, 3.0)
+    assert np.nanmax(LM.landmark_scores(const, "model_ses")) < 1e-6
+    rng = np.random.default_rng(5)
+    trend = 5 * np.linspace(0, 1, n) + 0.05 * rng.standard_normal(n)
+    ses = np.nanmean(LM.landmark_scores(trend, "model_ses"))
+    lin = np.nanmean(LM.landmark_scores(trend, "model_linear"))
+    assert lin < ses
+
+
+def test_hwes_landmarkers_handle_seasonal_signal():
+    """Holt-Winters additive (ada) on a clean seasonal+trend series must
+    beat plain SES (which cannot represent seasonality)."""
+    n = 240
+    t = np.arange(n)
+    rng = np.random.default_rng(6)
+    y = 0.01 * t + 1.5 * np.sin(2 * np.pi * t / 12) \
+        + 0.05 * rng.standard_normal(n)
+    hw = np.nanmean(LM.landmark_scores(y, "model_hwes_ada", period=12))
+    ses = np.nanmean(LM.landmark_scores(y, "model_ses", period=12))
+    assert np.isfinite(hw)
+    assert hw < ses
+
+
+def test_arima_landmarkers_match_model_structure():
+    """ARIMA(0,1,0)+c is a drift model: near-exact on a pure linear
+    trend (first difference constant; Nelder-Mead CSS converges to the
+    drift within ~1e-4 of min-max-scaled RMSE); AR(1)+c fits an AR(1)
+    process better than the pure-drift model fits it."""
+    n = 240
+    lin = 2 + 3 * np.linspace(0, 1, n)
+    drift = np.nanmean(LM.landmark_scores(lin, "model_arima_010_c"))
+    assert drift < 5e-3
+    rng = np.random.default_rng(8)
+    ar = np.zeros(n)
+    for i in range(1, n):
+        ar[i] = 0.8 * ar[i - 1] + rng.standard_normal()
+    ar100 = np.nanmean(LM.landmark_scores(ar, "model_arima_100_c"))
+    a010 = np.nanmean(LM.landmark_scores(ar, "model_arima_010_c"))
+    assert ar100 < a010
+
+
+def test_ioe_std_linreg_trend_sign():
+    """IOE stddev-vs-threshold slope: for a heavy-central-mass series
+    the surviving-outlier index gaps SPREAD as the threshold rises, so
+    the regression must return finite slope + adjusted R²."""
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(400)
+    slope, adj = K.ioe_std_linreg(x)
+    assert np.isfinite(slope) and np.isfinite(adj)
+    assert adj <= 1.0
+
+
+def test_hist_ent_out_diff_outliers_lower_entropy(procs):
+    """hist_ent_out_diff = H(full) − H(outliers-trimmed): injecting a
+    far outlier into a uniform-ish series concentrates the histogram
+    (entropy drops), so the difference must move versus the clean
+    series."""
+    from ts_pymfe_spark.operators.arrow_kernels import _hist_ent_out_diff
+
+    rng = np.random.default_rng(10)
+    clean = rng.uniform(0, 1, 300)
+    spiked = clean.copy()
+    spiked[0] = 50.0
+    d_clean = _hist_ent_out_diff(clean)
+    d_spiked = _hist_ent_out_diff(spiked)
+    assert np.isfinite(d_clean) and np.isfinite(d_spiked)
+    assert abs(d_spiked) > abs(d_clean)
