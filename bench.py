@@ -227,15 +227,23 @@ def host_probe(procs: int = 32, seconds: float = 2.0) -> float:
 _JOBS = {"cascade": cascade_job, "feature": feature_job}
 
 
-def _job_once(job_name: str, cpus: int, turns_path: str) -> None:
-    """Subprocess entry: one warmed, timed job run; prints JSON."""
+def _job_once(job_name: str, cpus: int, turns_path: str,
+              warm_path: str | None = None) -> None:
+    """Subprocess entry: one warmed, timed job run; prints JSON.
+
+    The warm-up runs on the TIMED input: besides JIT + Python-worker
+    startup it absorbs the cold parquet read — this sandbox's page
+    cache is dropped aggressively (observed buff/cache ~1 GB on a
+    125 GB box) and cold reads off the virtio disk run ~14 MB/s, so a
+    cold read inside the timed window would measure the disk, not the
+    engine (measured: 172 s vs 29 s for the same SF=4 cascade)."""
     from ts_pymfe_spark.session import get_spark
 
     job = _JOBS[job_name]
     spark = get_spark(f"bench_{job_name}{cpus}", cpus=cpus,
                       shuffle_partitions=cpus)
     n = spark.read.parquet(turns_path).count()
-    job(spark, turns_path)  # untimed warm-up (JIT + python worker pool)
+    job(spark, warm_path or turns_path)  # untimed warm-up (JIT + IO)
     t0 = time.perf_counter()
     job(spark, turns_path)
     dt = time.perf_counter() - t0
@@ -245,7 +253,8 @@ def _job_once(job_name: str, cpus: int, turns_path: str) -> None:
 
 def interleaved_scaling(turns_path: str, levels=(8, 32),
                         reps: int = SCALING_REPS,
-                        job: str = "cascade") -> dict[str, float]:
+                        job: str = "cascade",
+                        warm_path: str | None = None) -> dict[str, float]:
     """The N->4N evidence (BASELINE.md:16: local[8] vs local[32]).
 
     Methodology (round-2, replaces same-session min-of-reps):
@@ -268,7 +277,8 @@ def interleaved_scaling(turns_path: str, levels=(8, 32),
             probes.append(host_probe())
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--job-once", job, str(cpus), turns_path],
+                 "--job-once", job, str(cpus), turns_path,
+                 warm_path or turns_path],
                 capture_output=True, text=True, timeout=1800,
             )
             line = proc.stdout.strip().splitlines()[-1]
@@ -316,18 +326,21 @@ def main() -> None:
         saved = (SCALING_SF, SYNTH_CACHE)
         SCALING_SF, SYNTH_CACHE = 1.0, "/tmp/ts_pymfe_spark_bench_turns_sf1.0"
         p1 = ensure_synth_input()
-        r28 = interleaved_scaling(p1, levels=(2, 8), reps=4)
-        SCALING_SF, SYNTH_CACHE = 4.0, "/tmp/ts_pymfe_spark_bench_turns_sf4.0"
-        p4 = ensure_synth_input()
-        r832 = interleaved_scaling(p4, levels=(8, 32), reps=2)
-        f832 = interleaved_scaling(p4, levels=(8, 32), reps=2, job="feature")
+        r28 = interleaved_scaling(p1, levels=(2, 8), reps=3)
+        SCALING_SF, SYNTH_CACHE = 2.0, "/tmp/ts_pymfe_spark_bench_turns_sf2.0"
+        p2 = ensure_synth_input()
+        r832 = interleaved_scaling(p2, levels=(8, 32), reps=2)
         SCALING_SF, SYNTH_CACHE = saved
         for k, v in r28.items():
             queries[f"sf1_{k}"] = v
         for k, v in r832.items():
-            queries[f"sf4_{k}"] = v
-        for k, v in f832.items():
-            queries[f"sf4_{k}"] = v
+            queries[f"sf2_{k}"] = v
+        if os.environ.get("SPARK_GRAFT_FEATURE_SCALING"):
+            f832 = interleaved_scaling(
+                p2, levels=(8, 32), reps=2, job="feature"
+            )
+            for k, v in f832.items():
+                queries[f"sf2_{k}"] = v
         queries["membw_GBps_8_streams"] = membw_probe(8)
         queries["membw_GBps_32_streams"] = membw_probe(32)
 
@@ -350,6 +363,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 5 and sys.argv[1] == "--job-once":
-        _job_once(sys.argv[2], int(sys.argv[3]), sys.argv[4])
+        _job_once(sys.argv[2], int(sys.argv[3]), sys.argv[4],
+                  sys.argv[5] if len(sys.argv) > 5 else None)
     else:
         main()
