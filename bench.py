@@ -67,7 +67,17 @@ def run_headline(spark) -> dict[str, float]:
 def cascade_job(spark, turns_path: str) -> None:
     """The flagship ingest job: read transcripts -> derive -> full tier
     cascade (persisted 1m/1h so each level computes once, like the
-    production write path).  Every tier forced to completion."""
+    production write path).  Every tier forced to completion.
+
+    All three tier verifications are unioned into ONE action: each
+    collect() is a driver barrier + DAG submission (~1 s of fixed,
+    non-parallel cost on this box), and fixed cost c enters the N->4N
+    efficiency ratio as (W/N + c) / (4 (W/4N + c)) — i.e. it counts
+    4x against the denominator.  One job instead of three also lets
+    the scheduler pipeline the persisted-tier materializations instead
+    of draining the task pool at each barrier."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     from ts_pymfe_spark.operators.derive import derive_series
@@ -76,8 +86,12 @@ def cascade_job(spark, turns_path: str) -> None:
     turns = spark.read.parquet(turns_path)
     series = derive_series(turns)
     tiers = build_all_tiers(series, salted=True, persist=True)
-    for t, df in tiers.items():
-        df.agg(F.sum("s1"), F.count("*")).collect()
+    checks = [
+        df.agg(F.sum("s1").alias("s1"), F.count("*").alias("n"))
+        .select(F.lit(t).alias("tier"), "s1", "n")
+        for t, df in tiers.items()
+    ]
+    reduce(lambda a, b: a.unionByName(b), checks).collect()
     for df in tiers.values():
         df.unpersist()
 
@@ -281,6 +295,12 @@ def interleaved_scaling(turns_path: str, levels=(8, 32),
                  warm_path or turns_path],
                 capture_output=True, text=True, timeout=1800,
             )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr)
+                raise RuntimeError(
+                    f"bench subprocess --job-once {job} local[{cpus}] "
+                    f"exited {proc.returncode}; stderr above"
+                )
             line = proc.stdout.strip().splitlines()[-1]
             rec = json.loads(line)
             times[cpus].append(rec["sec"])
@@ -350,7 +370,7 @@ def main() -> None:
                 "metric": "headline suite wall time (rollup cascade + "
                 "feature + pipeline ops); queries carry per-op sec, "
                 "rolled-up points/sec, N->4N scaling efficiency at "
-                "2->8 (sf1, below DRAM knee) and 8->32 (sf4, named "
+                "2->8 (sf1, below DRAM knee) and 8->32 (sf2, named "
                 "pair) plus host CPU/membw probes",
                 "value": headline_sec,
                 "unit": "sec",
