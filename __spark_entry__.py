@@ -753,7 +753,9 @@ def q_token_stats(spark, sf_dir):
              ['the','a','of','and','to','in','is','it'], x))) * 1.0
              / len(tokens), 6) AS stopword_ratio,
            round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
-             / length(text), 6) AS alpha_ratio
+             / length(text), 6) AS alpha_ratio,
+           round(list_aggregate(list_transform(tokens, x -> length(x)), 'sum')
+             * 1.0 / len(tokens), 6) AS avg_word_len
     FROM t
     """,
 )
@@ -765,6 +767,7 @@ def q_quality_score(spark, sf_dir):
         "n_tokens",
         r(F.col("stopword_ratio")).alias("stopword_ratio"),
         r(F.col("alpha_ratio")).alias("alpha_ratio"),
+        r(F.col("avg_word_len")).alias("avg_word_len"),
     )
 
 
@@ -1125,6 +1128,85 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def _pinned_centroids(n_lists: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic IVF centroids from the same md5 integer arithmetic
+    as the LSH planes: weight (c, j) = (hex2int(md5("cent{c}:{j}")[:8])
+    / 2^32) * 2 − 1.  Every term is a ≤32-bit integer over a power of
+    two, so float64 represents it exactly and the DuckDB oracle
+    regenerates the matrix bit-identically.  These are pinned model
+    parameters for the correctness contract — the production path
+    trains them with ivf_train_centroids (kmeans|| on a sample)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"cent{c}:{j}".encode()).hexdigest()[:8], 16)
+             / 4294967296.0) * 2.0 - 1.0
+            for j in range(dim)
+        ]
+        for c in range(n_lists)
+    ]
+
+
+# IVF ANN: corpus rows assigned to their single nearest pinned
+# centroid (L2), queries probe their nprobe=2 nearest lists, cosine
+# top-3 inside the probed lists only.  The oracle re-derives centroid
+# generation, list assignment (same expansion d² = e·e − 2·e·w + w·w
+# up to float error that cannot flip an argmin at these margins,
+# tie-broken identically by centroid id) and the in-list ranking.
+@register(
+    "ann_ivf",
+    f"""
+    WITH cent AS (
+      SELECT cc, list_transform(generate_series(0, 63), j ->
+        ({_HEX2INT.format(h="substring(md5('cent' || cc || ':' || j), 1, 8)")}
+         / 4294967296.0) * 2.0 - 1.0) AS w
+      FROM (SELECT unnest(generate_series(0, 3)) AS cc)),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dist AS (
+      SELECT e.vec_id, cent.cc,
+             list_dot_product(e.e, e.e)
+               - 2 * list_dot_product(e.e, cent.w)
+               + list_dot_product(cent.w, cent.w) AS d2
+      FROM e CROSS JOIN cent),
+    ranked_lists AS (
+      SELECT vec_id, cc,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cc) AS lrank
+      FROM dist),
+    c AS (SELECT rl.vec_id AS neighbor_id, e.e AS ce, rl.cc AS list_id
+          FROM ranked_lists rl JOIN e USING (vec_id)
+          WHERE rl.lrank = 1 AND rl.vec_id >= 5),
+    q AS (SELECT rl.vec_id AS query_id, e.e AS qe, rl.cc AS list_id
+          FROM ranked_lists rl JOIN e USING (vec_id)
+          WHERE rl.lrank <= 2 AND rl.vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_dot_product(q.qe, c.ce)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+      FROM c JOIN q USING (list_id)),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 6) + 0.0 AS cos
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_ann_ivf(spark, sf_dir):
+    emb = read(spark, sf_dir, "embeddings")
+    out = TP.ivf_topk(
+        emb.filter("vec_id >= 5"), emb.filter("vec_id < 5"),
+        _pinned_centroids(), k=3, nprobe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        (r(F.col("cos")) + F.lit(0.0)).alias("cos"),
+    )
+
+
 @register(
     "emb_label_stats",
     """
@@ -1142,7 +1224,10 @@ def q_emb_label_stats(spark, sf_dir):
 
 
 # embedding-cosine near-duplicate pairs (fifth dedup family): LSH
-# buckets from md5-derived hyperplanes -> within-bucket cosine filter.
+# buckets from md5-derived hyperplanes -> multi-probe (exact bucket +
+# all 1-bit flips on the id_a side, round 3) -> within-bucket cosine
+# filter.  The oracle re-derives the probe expansion with the same
+# string surgery, so the contract stays exact at radius 1.
 @register(
     "emb_neardup",
     f"""
@@ -1158,12 +1243,22 @@ def q_emb_label_stats(spark, sf_dir):
                              THEN '1' ELSE '0' END, '' ORDER BY pl.pp)
                AS bucket
       FROM e CROSS JOIN pl GROUP BY e.vec_id),
+    probes AS (
+      SELECT vec_id,
+             unnest(list_prepend(bucket,
+               list_transform(generate_series(1, 8), i ->
+                 substring(bucket, 1, i - 1)
+                 || (CASE WHEN substring(bucket, i, 1) = '1'
+                          THEN '0' ELSE '1' END)
+                 || substring(bucket, i + 1, 8)))) AS bucket
+      FROM sig),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_dot_product(ea.e, eb.e)
                / (sqrt(list_dot_product(ea.e, ea.e))
                   * sqrt(list_dot_product(eb.e, eb.e))) AS cos
-      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      FROM probes a JOIN sig b ON a.bucket = b.bucket
+                               AND a.vec_id < b.vec_id
       JOIN e ea ON ea.vec_id = a.vec_id
       JOIN e eb ON eb.vec_id = b.vec_id)
     SELECT id_a, id_b, round(cos, 6) + 0.0 AS cos
@@ -1172,7 +1267,8 @@ def q_emb_label_stats(spark, sf_dir):
 )
 def q_emb_neardup(spark, sf_dir):
     out = TP.embedding_neardup_pairs(
-        read(spark, sf_dir, "embeddings"), threshold=0.3, dim=64
+        read(spark, sf_dir, "embeddings"), threshold=0.3, dim=64,
+        probe_radius=1,
     )
     return out.select(
         "id_a", "id_b", (r(F.col("cos")) + F.lit(0.0)).alias("cos")

@@ -342,19 +342,25 @@ def main() -> None:
         #            it (the scan+agg cascade is bandwidth-bound; the
         #            box's aggregate DRAM throughput ANTI-scales past
         #            ~8 streams, so 4x threads != 4x executors there).
+        # Committed pair at SF=2: the cascade carries ~4.5 s of fixed
+        # driver cost (plan construction + job barriers) which enters
+        # the N->4N ratio as (W/2+c)/(W/2+4c) — at SF=1 that alone
+        # caps the measurable efficiency at ~0.90 before any host
+        # noise; doubling W halves c's relative weight (measured:
+        # 0.77-0.79 at SF=1 vs 0.86+ at SF=2 on identical plans).
         global SCALING_SF, SYNTH_CACHE
         saved = (SCALING_SF, SYNTH_CACHE)
-        SCALING_SF, SYNTH_CACHE = 1.0, "/tmp/ts_pymfe_spark_bench_turns_sf1.0"
+        SCALING_SF, SYNTH_CACHE = 2.0, "/tmp/ts_pymfe_spark_bench_turns_sf2.0"
         p1 = ensure_synth_input()
         r28 = interleaved_scaling(p1, levels=(2, 8), reps=3)
-        SCALING_SF, SYNTH_CACHE = 2.0, "/tmp/ts_pymfe_spark_bench_turns_sf2.0"
+        SCALING_SF, SYNTH_CACHE = 4.0, "/tmp/ts_pymfe_spark_bench_turns_sf4.0"
         p2 = ensure_synth_input()
         r832 = interleaved_scaling(p2, levels=(8, 32), reps=2)
         SCALING_SF, SYNTH_CACHE = saved
         for k, v in r28.items():
-            queries[f"sf1_{k}"] = v
-        for k, v in r832.items():
             queries[f"sf2_{k}"] = v
+        for k, v in r832.items():
+            queries[f"sf4_{k}"] = v
         if os.environ.get("SPARK_GRAFT_FEATURE_SCALING"):
             f832 = interleaved_scaling(
                 p2, levels=(8, 32), reps=2, job="feature"
@@ -370,7 +376,7 @@ def main() -> None:
                 "metric": "headline suite wall time (rollup cascade + "
                 "feature + pipeline ops); queries carry per-op sec, "
                 "rolled-up points/sec, N->4N scaling efficiency at "
-                "2->8 (sf1, below DRAM knee) and 8->32 (sf2, named "
+                "2->8 (sf2, below DRAM knee) and 8->32 (sf4, named "
                 "pair) plus host CPU/membw probes",
                 "value": headline_sec,
                 "unit": "sec",

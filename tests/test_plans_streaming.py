@@ -124,3 +124,79 @@ def test_stateful_sessionizer_matches_batch_oracle(spark, turns, tmp_path):
     )
     # sanity: gaps actually produced multiple sessions somewhere
     assert got.groupby("conv_id")["session_id"].max().max() >= 1
+
+
+def test_sessionizer_late_data_contract(spark, tmp_path):
+    """Bounded-disorder contract of sessionize_stream: a turn arriving
+    in a LATER microbatch with an OLDER event time (1) joins the
+    session open at arrival instead of forcing a new one, and (2)
+    cannot drag the session clock backwards — the state's high-water
+    ts is monotone, so a subsequent in-gap turn is NOT spuriously
+    split (without max(last_us, us) the late 30 s turn would rewind
+    the clock and the +200 s turn's 170 s gap would break the 100 s
+    session)."""
+    import datetime as dt
+    import time
+
+    from ts_pymfe_spark.streaming.rollup_stream import stream_turns
+    from ts_pymfe_spark.streaming.stateful import sessionize_stream
+    from ts_pymfe_spark.synth import TURNS_SCHEMA
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def row(idx, sec):
+        return ("c1", idx, "user", "x", "", t0 + dt.timedelta(seconds=sec))
+
+    in_dir = str(tmp_path / "late_in")
+    ckpt = str(tmp_path / "late_ckpt")
+    # microbatch 1: ordered turns, all gaps <= 100 s -> one session
+    b1 = spark.createDataFrame([row(0, 0), row(1, 60), row(2, 120)],
+                               TURNS_SCHEMA)
+    b1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    time.sleep(1.1)  # distinct file mtimes => deterministic batch order
+    # microbatch 2: one LATE turn (ts +30 s < high-water +120 s) and one
+    # in-gap turn (+200 s, 80 s after the true newest turn)
+    b2 = spark.createDataFrame([row(3, 30), row(4, 200)], TURNS_SCHEMA)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    out = sessionize_stream(
+        stream_turns(spark, in_dir, max_files_per_trigger=1),
+        gap_seconds=100,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.table("late_sessions").orderBy("turn_idx").toPandas()
+    assert len(got) == 5
+    # late turn joined the open session; the monotone clock kept the
+    # +200 s turn in it too
+    assert got["session_id"].tolist() == [0, 0, 0, 0, 0]
+
+
+def test_sessionizer_timeout_mode_wiring(spark):
+    """idle_timeout_seconds=None -> NoTimeout (terminating availableNow
+    replays); set -> ProcessingTimeTimeout eviction (continuous mode).
+    The full timeout firing needs a wall-clock continuous trigger, so
+    the wiring is asserted from the analyzed plan."""
+    from ts_pymfe_spark.streaming.rollup_stream import stream_turns
+    from ts_pymfe_spark.streaming.stateful import sessionize_stream
+    import tempfile
+
+    src = stream_turns(spark, tempfile.mkdtemp(), 1)
+    plan_none = (
+        sessionize_stream(src, idle_timeout_seconds=None)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    plan_evict = (
+        sessionize_stream(src, idle_timeout_seconds=3600)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "NoTimeout" in plan_none
+    assert "ProcessingTimeTimeout" in plan_evict

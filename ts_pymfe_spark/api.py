@@ -81,14 +81,15 @@ class TSMFESpark:
             series_df, features=self.features, max_points=self.max_points,
             measure_time=measure_time,
         )
-        if measure_time:
-            timing = feats.groupBy("conv_id", "series", "feature").agg(
-                F.max("wall_ms").alias("wall_ms")
-            )
-            feats = feats.drop("wall_ms")
-        summ = summarize(feats, self.summaries)
-        if measure_time:
-            summ = summ.join(timing, ["conv_id", "series", "feature"])
+        # measure_time rides the summary stage as a carried column:
+        # wall_ms is constant per (conv, series, feature) group, so the
+        # single summarize pass serves both outputs — a separate timing
+        # aggregate + join would execute the expensive kernel stage
+        # twice (the uncached plan is shared by both consumers).
+        summ = summarize(
+            feats, self.summaries,
+            carry=("wall_ms",) if measure_time else (),
+        )
         name = F.when(F.col("summary") == "", F.col("feature")).otherwise(
             F.concat_ws(".", "feature", "summary")
         )

@@ -208,7 +208,7 @@ def _ma_valid(x: np.ndarray, w: int) -> np.ndarray:
 
 
 def stl_decompose(ts: np.ndarray, period: int, seasonal: int = 7,
-                  inner: int = 2) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+                  inner: int = 5) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Minimal STL (Cleveland, Cleveland, McRae & Terpenning 1990 — the
     published algorithm the reference delegates to statsmodels for,
     ``_detrend.py:100-115``), non-robust, no jump/skip optimizations:
@@ -223,7 +223,10 @@ def stl_decompose(ts: np.ndarray, period: int, seasonal: int = 7,
 
     with the standard window defaults: trend_len = smallest odd ≥
     1.5·period/(1 − 1.5/seasonal); low-pass = smallest odd > period.
-    Non-robust inner count 2 (statsmodels default for robust=False)."""
+    Non-robust inner count 5, matching statsmodels STL.fit's
+    inner_iter default when robust=False (it is 2 only when
+    robust=True), since the reference calls STL(ts, period).fit()
+    non-robust (``_detrend.py:100-115``)."""
     x = np.asarray(ts, dtype=float)
     n = x.size
     period = int(period)
@@ -1299,22 +1302,37 @@ def cao_e1_e2(ts: np.ndarray, lag: int = 1, dims: int = 16,
         x = x[-max_n:]
     sd = x.std(ddof=0)
     x = (x - x.mean()) / sd if sd > 0 else x - x.mean()
+    n = x.size
     e_vals, estar_vals = [], []
+    # Chebyshev distance over a (d+1)-dim embedding = max(distance over
+    # the d-dim embedding, |new-coordinate diff|), so the m×m distance
+    # matrix is UPDATED per dimension at O(m²) instead of rebuilt from
+    # an O(m²·d) broadcast tensor — ~dims× less compute and allocation
+    # on this O(n²) kernel (the engine's measured hot spot).
+    D = None
+    ar = None
     for d in range(1, dims + 1):
-        emb_d = _embed(x, d, lag)
-        emb_d1 = _embed(x, d + 1, lag)
-        m = emb_d1.shape[0]
+        m = n - d * lag  # rows of emb_{d+1}
         if m < 3:
             break
-        a = emb_d[:m]
-        dist = np.max(np.abs(a[:, None, :] - a[None, :, :]), axis=2)
-        np.fill_diagonal(dist, np.inf)
-        nn = np.argmin(dist, axis=1)
-        dn = dist[np.arange(m), nn]
+        v_new = x[(d - 1) * lag : (d - 1) * lag + m]
+        if D is None:
+            D = np.abs(np.subtract.outer(v_new, v_new))
+        else:
+            D = np.maximum(D[:m, :m],
+                           np.abs(np.subtract.outer(v_new, v_new)))
+        ar = np.arange(m)
+        np.fill_diagonal(D, np.inf)
+        nn = np.argmin(D, axis=1)
+        dn = D[ar, nn]
+        np.fill_diagonal(D, 0.0)  # restore (diagonal distance is 0)
         dn = np.where(dn == 0, 1e-12, dn)
-        dist_d1 = np.max(np.abs(emb_d1 - emb_d1[nn]), axis=1)
+        # (d+1)-dim distance to the d-dim NN: max of the d-dim distance
+        # and the appended coordinate's diff (== max over emb_d1 coords)
+        v_next = x[d * lag : d * lag + m]
+        dist_d1 = np.maximum(D[ar, nn], np.abs(v_next - v_next[nn]))
         e_vals.append(float(np.mean(dist_d1 / dn)))
-        estar_vals.append(float(np.mean(np.abs(x[(d) * lag:][:m] - x[(d) * lag:][nn]))))
+        estar_vals.append(float(np.mean(np.abs(v_next - v_next[nn]))))
     e = np.asarray(e_vals)
     estar = np.asarray(estar_vals)
     e1 = e[1:] / e[:-1] if e.size > 1 else np.array([np.nan])
@@ -1340,21 +1358,35 @@ def fnn_prop(ts: np.ndarray, lag: int = 1, dims: int = 8,
     if x.size > max_n:
         x = x[-max_n:]
     sd_all = x.std(ddof=0)
+    n = x.size
     out = []
+    # Same incremental-update trick as cao_e1_e2, on SQUARED euclidean
+    # distances: D²(d+1) = D²(d) + (new-coordinate diff)² — O(m²) per
+    # dimension instead of an O(m²·d) broadcast tensor.  argmin over D²
+    # equals argmin over D (sqrt is monotone), and rd = sqrt(D²) is the
+    # same accumulation order as the former sum(axis=2).
+    D2 = None
     for d in range(1, dims + 1):
-        emb_d = _embed(x, d, lag)
-        nxt = _embed(x, d + 1, lag)
-        m = nxt.shape[0]
+        m = n - d * lag  # rows of emb_{d+1}
         if m < 3:
             out.append(np.nan)
             continue
-        a = emb_d[:m]
-        dist = np.sqrt(((a[:, None, :] - a[None, :, :]) ** 2).sum(axis=2))
-        np.fill_diagonal(dist, np.inf)
-        nn = np.argmin(dist, axis=1)
-        rd = dist[np.arange(m), nn]
+        v_new = x[(d - 1) * lag : (d - 1) * lag + m]
+        diff = np.subtract.outer(v_new, v_new)
+        if D2 is None:
+            D2 = diff * diff
+        else:
+            D2 = D2[:m, :m] + diff * diff
+        ar = np.arange(m)
+        np.fill_diagonal(D2, np.inf)
+        nn = np.argmin(D2, axis=1)
+        rd = np.sqrt(D2[ar, nn])
+        np.fill_diagonal(D2, 0.0)  # restore (diagonal distance is 0)
         rd = np.where(rd == 0, 1e-12, rd)
-        new_coord = np.abs(nxt[:, 0] - nxt[nn, 0])
+        # the appended (d+1)-th coordinate is the most-recent one =
+        # column 0 of emb_{d+1}: x[d·lag + i]
+        v_next = x[d * lag : d * lag + m]
+        new_coord = np.abs(v_next - v_next[nn])
         crit1 = new_coord / rd > rtol
         rdd1 = np.sqrt(rd**2 + new_coord**2)
         crit2 = rdd1 / (sd_all if sd_all > 0 else 1.0) > atol

@@ -163,31 +163,40 @@ def summarize_array(values: np.ndarray, summaries=DEFAULT_SUMMARIES):
 _EXTRA_KEY_TYPES = {"resample": "int"}
 
 
-def summarize(feature_df, summaries=DEFAULT_SUMMARIES, extra_keys=()):
+def summarize(feature_df, summaries=DEFAULT_SUMMARIES, extra_keys=(),
+              carry=()):
     """Spark second stage: long feature table (conv_id, series,
     [*extra_keys,] feature, idx, value) -> (conv_id, series,
-    [*extra_keys,] feature, summary, value).
+    [*extra_keys,] feature, summary, value[, *carry]).
 
     Scalar features (single row, idx=0) pass through with summary ''
     (the reference does not summarize scalars, tsmfe.py:469-471).
 
     ``extra_keys`` threads additional grouping dimensions through the
-    reduction — e.g. ``("resample",)`` for the bootstrap CI path."""
+    reduction — e.g. ``("resample",)`` for the bootstrap CI path.
+
+    ``carry`` names double columns that are constant within a group
+    (e.g. the kernel-stage ``wall_ms``) and pass through to every
+    output row — this lets measure_time ride the summary stage in the
+    SAME single pass instead of a second aggregation + join over the
+    expensive kernel output."""
     from pyspark.sql import DataFrame  # local import keeps module numpy-pure
 
-    extra_keys = tuple(extra_keys)
+    extra_keys, carry = tuple(extra_keys), tuple(carry)
     extra_schema = "".join(
         f", {k} {_EXTRA_KEY_TYPES.get(k, 'string')}" for k in extra_keys
     )
     schema = (
         "conv_id string, series string" + extra_schema
         + ", feature string, summary string, value double"
+        + "".join(f", {c} double" for c in carry)
     )
     group_keys = ("conv_id", "series", *extra_keys, "feature")
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("idx")
         head = {k: pdf[k].iloc[0] for k in group_keys}
+        head.update({c: float(pdf[c].iloc[0]) for c in carry})
         vals = pdf["value"].to_numpy(dtype=float)
         if len(vals) == 1:
             rows = [("", float(vals[0]))]

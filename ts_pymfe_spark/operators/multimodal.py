@@ -21,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Callable, Iterator
 
 import numpy as np
@@ -252,24 +253,44 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     return hist.reshape(dim, 256 // dim).sum(axis=1).astype(np.float32)
 
 
+@contextmanager
+def media_arrow_batch(spark, batch_mb: int = 64, avg_row_kb: int = 512):
+    """Scoped Arrow-batch bound for large-payload media jobs.
+
+    ``maxRecordsPerBatch`` is a SESSION-global conf; a media job with
+    512 KB rows needs ~128-row batches, but leaving that set would
+    silently shrink every later Arrow stage (series_features expects
+    the session default, session.py:58 = 20000).  This context manager
+    sets rows/batch = batch_mb·1024 // avg_row_kb for the duration of
+    the media action and restores the prior value on exit — run the
+    job's action (write/collect) INSIDE the block, since the conf is
+    read at execution time, not plan time."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, str(max(1, (batch_mb * 1024) // avg_row_kb)))
+    try:
+        yield spark
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def repartition_for_media(df: DataFrame, batch_mb: int = 64,
                           avg_row_kb: int = 512,
                           est_rows: int | None = None) -> DataFrame:
-    """Bound the payload bytes an Arrow batch carries.
+    """Right-size partition count for large-payload rows — arithmetic
+    only, no data pass (at 100 TB an extra ``df.count()`` just to size
+    partitions is a full scan of a blob table; Iceberg snapshot /
+    manifest row counts are free when the caller has them as
+    ``est_rows``).  Otherwise the input partitioning is kept (scan
+    tasks are already byte-bounded by files.maxPartitionBytes).
 
-    No data pass: at 100 TB an extra ``df.count()`` just to size
-    partitions is a full scan of a blob table.  The real lever is the
-    Arrow batch size — ``maxRecordsPerBatch`` rows/batch × avg_row_kb
-    must stay under batch_mb — which needs only arithmetic.  When the
-    caller knows the row count (Iceberg snapshot metadata / manifest
-    row counts are free), ``est_rows`` additionally right-sizes the
-    partition count; otherwise the input partitioning is kept (scan
-    tasks are already byte-bounded by files.maxPartitionBytes)."""
+    Pair with ``media_arrow_batch`` around the job's ACTION to also
+    bound the Arrow batch bytes — that conf is session-global, so it
+    is scoped in a context manager rather than mutated here."""
     rows_per_batch = max(1, (batch_mb * 1024) // avg_row_kb)
-    spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch)
-    )
     if est_rows is not None:
         return df.repartition(max(1, est_rows // rows_per_batch))
     return df

@@ -61,7 +61,12 @@ def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         n_tok.alias("n_tokens"),
         (stop / n_tok).cast("double").alias("stopword_ratio"),
         (alpha / F.length("text")).cast("double").alias("alpha_ratio"),
-        ((F.length("text") - n_tok + 1) / n_tok).cast("double").alias("avg_word_len"),
+        # token-derived, so repeated/tab whitespace cannot skew it (the
+        # former chars−gaps arithmetic assumed single-space separation)
+        (
+            F.aggregate("tokens", F.lit(0), lambda acc, x: acc + F.length(x))
+            / n_tok
+        ).cast("double").alias("avg_word_len"),
     )
 
 
@@ -433,27 +438,64 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
+def _probe_buckets(bucket: F.Column, num_planes: int,
+                   radius: int) -> F.Column:
+    """Multi-probe bucket list: the exact sign pattern plus, at
+    ``radius`` 1, every pattern one bit-flip away (probing the LSH
+    buckets most likely to hold a near neighbour that landed on the
+    other side of one hyperplane).  Pure string surgery on the bit
+    pattern — JVM-side, reproducible in ANSI SQL."""
+    if radius <= 0:
+        return F.array(bucket)
+    if radius > 1:
+        raise ValueError(
+            "probe_radius > 1 unsupported: the probe count grows "
+            "C(num_planes, r); use ivf_topk(nprobe=...) for deeper "
+            "probing"
+        )
+    flips = F.transform(
+        F.sequence(F.lit(1), F.lit(num_planes)),
+        lambda i: F.concat(
+            bucket.substr(F.lit(1), i - 1),
+            F.when(bucket.substr(i, F.lit(1)) == "1", "0").otherwise("1"),
+            bucket.substr(i + 1, F.lit(num_planes)),
+        ),
+    )
+    return F.concat(F.array(bucket), flips)
+
+
 def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.3,
                             num_planes: int = 8, dim: int | None = None,
                             id_col: str = "vec_id",
-                            emb: str = "embedding") -> DataFrame:
+                            emb: str = "embedding",
+                            probe_radius: int = 1) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the fifth dedup family
     (exact / minhash-LSH / simhash / n-gram-jaccard / embedding-cosine).
 
     Scale shape: LSH-bucket by md5-derived hyperplane signs first (one
     narrow pass), then self-join ONLY within buckets — shuffle is
     O(Σ bucket²) not O(corpus²); with b well-chosen planes the expected
-    bucket is corpus/2^b.  The md5 derivation makes the bucketing
-    reproducible in ANSI SQL, so this operator has an exact DuckDB
-    oracle (recall relative to the all-pairs ground truth is the usual
-    LSH trade-off; raise num_planes for precision, add band rotations
-    for recall).
+    bucket is corpus/2^b.  ``probe_radius=1`` (default) additionally
+    probes the ``num_planes`` buckets one bit-flip away on ONE side of
+    the join — a true near-dup pair (cos near 1) disagrees on at most
+    a plane or two, so single-flip probing recovers most of the recall
+    single-bucket LSH loses, at (num_planes+1)× the join fan-out on
+    one side only (still no all-pairs path).  The md5 derivation makes
+    the bucketing reproducible in ANSI SQL, so this operator has an
+    exact DuckDB oracle at any radius; recall versus the all-pairs
+    ground truth is floor-tested in tests/test_round3_features.py.
 
-    Returns (id_a, id_b, cos) with id_a < id_b and cos >= threshold."""
+    Returns (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
+    Each qualifying pair appears exactly once: the probe buckets of a
+    signature are pairwise distinct, so a (probe ∋ exact-bucket) match
+    fires for exactly one probe."""
     dim = _require_dim(dim, "embedding_neardup_pairs")
     sig = with_lsh_bucket(df, num_planes, dim, emb)
     a = sig.select(
-        F.col(id_col).alias("id_a"), _as_double(emb).alias("_ea"), "bucket"
+        F.col(id_col).alias("id_a"), _as_double(emb).alias("_ea"),
+        F.explode(
+            _probe_buckets(F.col("bucket"), num_planes, probe_radius)
+        ).alias("bucket"),
     )
     b = sig.select(
         F.col(id_col).alias("id_b"), _as_double(emb).alias("_eb"), "bucket"
@@ -477,17 +519,25 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.3,
 # ---------------------------------------------------------------------------
 
 def ivf_train_centroids(corpus: DataFrame, n_lists: int = 16,
-                        sample_frac: float = 1.0, seed: int = 42,
-                        emb: str = "embedding") -> list[list[float]]:
+                        sample_frac: float | None = None, seed: int = 42,
+                        emb: str = "embedding",
+                        max_train_rows: int = 1_000_000) -> list[list[float]]:
     """Train the IVF coarse quantizer (k-means via Spark MLlib's
     distributed kmeans||).  Returns the k×dim centroid matrix — model
     parameters, driver-sized by definition (k·dim floats), NOT data.
 
-    At 100 TB you train on a sample (``sample_frac``) — k-means
-    needs only enough points to place k centroids."""
+    Training-set contract: k-means needs only enough points to place
+    ``n_lists`` centroids, so full-corpus training is never the
+    default.  ``sample_frac=None`` (default) auto-sizes the sample to
+    ~``max_train_rows`` rows via a cheap count; pass an explicit
+    fraction to override, and an explicit ``sample_frac=1.0`` is the
+    only way to train on the full corpus."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if sample_frac is None:
+        n = corpus.count()
+        sample_frac = min(1.0, max_train_rows / max(1, n))
     df = corpus if sample_frac >= 1.0 else corpus.sample(sample_frac, seed)
     feats = df.select(array_to_vector(_as_double(emb)).alias("features"))
     model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feats)

@@ -46,15 +46,37 @@ SESSION_STATE = T.StructType(
 )
 
 
-def sessionize_stream(turns: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize_stream(turns: DataFrame, gap_seconds: int = 1800,
+                      idle_timeout_seconds: int | None = None) -> DataFrame:
     """Conversation sessionizer: a new session starts when the gap to
     the previous turn exceeds ``gap_seconds``.  Cross-microbatch state
     = 3 scalars per conversation.
 
-    Batch-equivalent definition (the test oracle):
+    Batch-equivalent definition (the test oracle, fully-ordered input):
         session_id = Σ over prior turns of
                      1{ts − lag(ts) > gap_seconds}   (per conv, ts order)
-    """
+
+    State bound: for CONTINUOUS deployments pass
+    ``idle_timeout_seconds`` (e.g. 86400): conversations idle longer
+    than the timeout are EVICTED from the state store
+    (ProcessingTimeTimeout), so state is O(#conversations active
+    within the horizon), not O(all conversations ever seen).  A
+    conversation reappearing after eviction restarts its session
+    counter at 0 — its next turn necessarily opens a new session
+    anyway (idle_timeout ≥ gap), so only the id's monotone continuity
+    is traded for the bound.  The default is ``None`` (NoTimeout,
+    exact whole-history counters) because a query with processing-time
+    timeouts never runs out of future work: Trigger.AvailableNow
+    replays would hang at termination (measured on this Spark build) —
+    harmless for a true continuous stream, wrong for bounded replays.
+
+    Late-data contract (bounded disorder, same as the watermarked
+    rollup): turns are sorted within each microbatch; a turn arriving
+    in a LATER microbatch with an older ts joins the session open at
+    arrival and cannot split it (the state's high-water ts is
+    monotone: max(last_us, us)), while the session clock keeps running
+    from the newest ts seen.  Ts-retroactive assignment would require
+    buffering the whole history — that is the batch oracle's job."""
     gap_us = gap_seconds * 1_000_000
 
     def fn(
@@ -62,6 +84,9 @@ def sessionize_stream(turns: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             last_us, session_id, n_turns = state.get
         else:
@@ -76,7 +101,7 @@ def sessionize_stream(turns: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 if last_us is not None and us - last_us > gap_us:
                     session_id += 1
                     n_turns = 0
-                last_us = us
+                last_us = us if last_us is None else max(last_us, us)
                 n_turns += 1
                 sids.append(session_id)
             out.append(
@@ -90,8 +115,15 @@ def sessionize_stream(turns: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 )
             )
         state.update((last_us, session_id, n_turns))
+        if idle_timeout_seconds is not None:
+            state.setTimeoutDuration(idle_timeout_seconds * 1000)
         yield from out
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_seconds is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         turns.groupBy("conv_id")
         .applyInPandasWithState(
@@ -99,7 +131,7 @@ def sessionize_stream(turns: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             outputStructType=SESSION_OUTPUT,
             stateStructType=SESSION_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
