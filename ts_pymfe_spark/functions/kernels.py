@@ -1651,23 +1651,42 @@ def _rbf_k(a: np.ndarray, b: np.ndarray, ls: float) -> np.ndarray:
     return np.exp(-0.5 * d2 / (ls * ls))
 
 
+#: per-worker memo of the last few GP fits: three kernels
+#: (gresid_autocorr, gresid_lbtest, gaussian_r_sqr) fit the SAME GP on
+#: the same series within one feature pass — the fit is the single most
+#: expensive kernel component (40 golden-section NLL evaluations, each
+#: an O(n³) Cholesky), so refitting it per caller tripled its cost.
+#: Keyed by the tail-capped input bytes; tiny (≤8 series) because
+#: callers for one series arrive consecutively in the Arrow kernel loop.
+_GP_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+
+
 def gp_fit_predict(ts: np.ndarray, alpha: float = 1e-10,
                    max_n: int = 512) -> tuple[np.ndarray, np.ndarray]:
     """Fit GP(RBF) on (linspace(0,1,n), zscore(ts)); return
-    (ts_scaled, predictions).  Length-scale selected by golden-section
-    on the log marginal likelihood (sklearn optimizes the same
-    objective with L-BFGS)."""
+    (ts_scaled, predictions) — callers must not mutate the returned
+    arrays (memoized).  Length-scale selected by golden-section on the
+    log marginal likelihood (sklearn optimizes the same objective with
+    L-BFGS)."""
     x = np.asarray(ts, dtype=float)
     if x.size > max_n:
         x = x[-max_n:]
+    key = x.tobytes()
+    hit = _GP_CACHE.get(key)
+    if hit is not None:
+        return hit
     sd = x.std(ddof=0)
     y = (x - x.mean()) / sd if sd > 0 else x - x.mean()
     n = y.size
     t = np.linspace(0, 1, n)
+    # hoisted out of nll: the squared-distance matrix and the jitter
+    # diagonal are length-scale-independent
+    d2 = (t[:, None] - t[None, :]) ** 2
+    aI = alpha * np.eye(n)
 
     def nll(log_ls: float) -> float:
         ls = math.exp(log_ls)
-        K = _rbf_k(t, t, ls) + alpha * np.eye(n)
+        K = np.exp(-0.5 * d2 / (ls * ls)) + aI
         try:
             L = np.linalg.cholesky(K)
         except np.linalg.LinAlgError:
@@ -1680,7 +1699,10 @@ def gp_fit_predict(ts: np.ndarray, alpha: float = 1e-10,
     c = a_b[1] - gr * (a_b[1] - a_b[0])
     d = a_b[0] + gr * (a_b[1] - a_b[0])
     fc, fd = nll(c), nll(d)
-    for _ in range(40):
+    # 24 golden-section steps bracket log-ls to ~1e-4 — already far
+    # tighter than the NLL surface warrants (each step is an O(n³)
+    # Cholesky; the former 40 steps doubled cost for sub-float noise)
+    for _ in range(24):
         if fc < fd:
             a_b[1], d, fd = d, c, fc
             c = a_b[1] - gr * (a_b[1] - a_b[0])
@@ -1690,12 +1712,15 @@ def gp_fit_predict(ts: np.ndarray, alpha: float = 1e-10,
             d = a_b[0] + gr * (a_b[1] - a_b[0])
             fd = nll(d)
     ls = math.exp((a_b[0] + a_b[1]) / 2)
-    K = _rbf_k(t, t, ls) + alpha * np.eye(n)
+    Krbf = np.exp(-0.5 * d2 / (ls * ls))
     try:
-        coef = np.linalg.solve(K, y)
+        coef = np.linalg.solve(Krbf + aI, y)
     except np.linalg.LinAlgError:
         return y, np.full(n, np.nan)
-    pred = _rbf_k(t, t, ls) @ coef
+    pred = Krbf @ coef
+    if len(_GP_CACHE) >= 8:
+        _GP_CACHE.clear()
+    _GP_CACHE[key] = (y, pred)
     return y, pred
 
 

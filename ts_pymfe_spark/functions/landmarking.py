@@ -316,21 +316,54 @@ def _arima_forecast(ytr, h, p, d, q, const):
         raise ValueError("too short for ARIMA order")
 
     def css(theta, collect=False):
+        # Hot path: Nelder-Mead calls this up to ~400×.  The AR part is
+        # vectorized (ar[t] = c + Σ phi_i·w[t−1−i] as shifted array
+        # adds); the MA recursion is inherently sequential, so the
+        # common orders (q ≤ 2) run as scalar-local loops — ~5-50×
+        # faster than the former per-t indexed triple loop, same
+        # recurrence (zero pre-sample residuals).
         phi = theta[:p]
         th = theta[p : p + q]
         c = theta[p + q] if const else 0.0
-        e = np.zeros(n)
-        s = 0.0
         start = max(p, 1)
-        for t in range(start, n):
-            pred = c
-            for i in range(p):
-                pred += phi[i] * w[t - 1 - i]
-            for j in range(q):
-                if t - 1 - j >= 0:
-                    pred += th[j] * e[t - 1 - j]
-            e[t] = w[t] - pred
-            s += e[t] * e[t]
+        ar = np.full(n, c)
+        for i in range(p):
+            ar[i + 1 :] += phi[i] * w[: n - 1 - i]
+        z = w - ar
+        e = np.zeros(n)
+        if q == 0:
+            e[start:] = z[start:]
+            s = float(e @ e)
+        elif q == 1:
+            t1 = float(th[0])
+            e1 = 0.0
+            s = 0.0
+            zs = z.tolist()
+            for t in range(start, n):
+                et = zs[t] - t1 * e1
+                s += et * et
+                e[t] = et
+                e1 = et
+        elif q == 2:
+            t1, t2 = float(th[0]), float(th[1])
+            e1 = e2 = 0.0
+            s = 0.0
+            zs = z.tolist()
+            for t in range(start, n):
+                et = zs[t] - t1 * e1 - t2 * e2
+                s += et * et
+                e[t] = et
+                e2 = e1
+                e1 = et
+        else:
+            s = 0.0
+            for t in range(start, n):
+                pred = 0.0
+                for j in range(q):
+                    if t - 1 - j >= 0:
+                        pred += th[j] * e[t - 1 - j]
+                e[t] = z[t] - pred
+                s += e[t] * e[t]
         if collect:
             wf = list(w)
             ef = list(e)
