@@ -4,10 +4,19 @@ resumable tier tables with per-partition lineage metrics.
 Run form (north rule):
 
     cd /root/repo && zip -qr /tmp/engine.zip ts_pymfe_spark
-    spark-submit --py-files /tmp/engine.zip jobs/ingest_rollup.py \
+    spark-submit --driver-memory 16g --py-files /tmp/engine.zip \
+        jobs/ingest_rollup.py \
         --input /path/to/turns_parquet --output /path/to/tier_store \
         [--sf 0.01 --synth]   # synthesize input instead of reading
         [--cpus 32] [--compress] [--features]
+
+``--driver-memory`` MUST be given on the spark-submit command line:
+session-level ``spark.driver.memory`` conf is ignored once the JVM is
+already launched (spark-submit mode), so without the flag the job runs
+on the 1 g default — in local[] mode that heap also hosts every
+executor thread and the persisted 1m tier cache, and a resume run OOMs
+exactly there (found in the round-3 kill/resume rehearsal).  On a real
+cluster the equivalent is executor/driver memory in the submit conf.
 
 Resumable: re-running after a crash skips partitions already committed
 to each tier's ``_manifest`` (plans/manifest.py).  Metrics (rows, bytes,
