@@ -217,6 +217,129 @@ def q_moving_sd_shift(spark, sf_dir):
     )
 
 
+# rolling e1071 method-3 skewness from one-pass frame moment sums —
+# the oracle spells the IDENTICAL algebra (incl. pow() where Spark uses
+# pow) so the float paths agree; values are irrational (m2^1.5), so
+# they never sit on the .5 rounding grid.
+@register(
+    "moving_skew",
+    _EDGE_CTE
+    + """
+    , m AS (
+      SELECT conv_id, turn_idx, rn, cnt,
+             count(value) OVER fr * 1.0 AS n,
+             sum(value) OVER fr AS s1,
+             sum(value * value) OVER fr AS s2,
+             sum(value * value * value) OVER fr AS s3
+      FROM w
+      WINDOW fr AS (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    c AS (
+      SELECT conv_id, turn_idx, rn, cnt, n,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3) AS m3
+      FROM m)
+    SELECT conv_id, turn_idx,
+           CASE WHEN n > 1 AND m2 > 0
+                THEN round(m3 / pow(m2, 1.5) * pow((n - 1) / n, 1.5), 6)
+                     + 0.0 END AS mskew
+    FROM c WHERE rn > 3 AND rn <= cnt - 3
+    """,
+)
+def q_moving_skew(spark, sf_dir):
+    out = LS.rolling(_series(spark, sf_dir), "moving_skewness", 3)
+    return out.select(
+        "conv_id", "turn_idx",
+        (r(F.col("stat")) + F.lit(0.0)).alias("mskew"),
+    )
+
+
+@register(
+    "moving_kurt",
+    _EDGE_CTE
+    + """
+    , m AS (
+      SELECT conv_id, turn_idx, rn, cnt,
+             count(value) OVER fr * 1.0 AS n,
+             sum(value) OVER fr AS s1,
+             sum(value * value) OVER fr AS s2,
+             sum(value * value * value) OVER fr AS s3,
+             sum(value * value * value * value) OVER fr AS s4
+      FROM w
+      WINDOW fr AS (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    c AS (
+      SELECT conv_id, turn_idx, rn, cnt, n,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s4 / n - 4 * (s1 / n) * s3 / n
+                    + 6 * (s1 / n) * (s1 / n) * s2 / n
+                    - 3 * pow(s1 / n, 4) AS m4
+      FROM m)
+    SELECT conv_id, turn_idx,
+           CASE WHEN n > 1 AND m2 > 0
+                THEN round(m4 / (m2 * m2) * pow(1 - 1 / n, 2) - 3, 6)
+                     + 0.0 END AS mkurt
+    FROM c WHERE rn > 3 AND rn <= cnt - 3
+    """,
+)
+def q_moving_kurt(spark, sf_dir):
+    out = LS.rolling(_series(spark, sf_dir), "moving_kurtosis", 3)
+    return out.select(
+        "conv_id", "turn_idx",
+        (r(F.col("stat")) + F.lit(0.0)).alias("mkurt"),
+    )
+
+
+# batch sessionizer (the streaming operator's oracle form): cumulative
+# count of gaps > 600 s per conversation, total order (ts, turn_idx).
+@register(
+    "sessionize",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    g AS (
+      SELECT conv_id, turn_idx, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 600
+                  THEN 1 ELSE 0 END AS f
+      FROM s
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+    SELECT conv_id, turn_idx,
+           CAST(sum(f) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+    FROM g
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    from ts_pymfe_spark.streaming.stateful import sessionize_batch
+
+    out = sessionize_batch(
+        _series(spark, sf_dir), gap_seconds=600,
+        order_cols=("ts", "turn_idx"),
+    )
+    return out.select("conv_id", "turn_idx", "session_id")
+
+
+# bootstrap CIs (reference extract_with_confidence, tsmfe.py:1079-1248):
+# 32 seeded in-worker resamples per series, percentile CIs — the
+# resample loop is not ANSI-SQL-expressible, so this is a rows-only
+# contract entry (no oracle; pytest pins determinism + CI semantics in
+# tests/test_round2_features.py).
+@register("bootstrap_ci", None)
+def q_bootstrap_ci(spark, sf_dir):
+    from ts_pymfe_spark.api import TSMFESpark
+
+    eng = TSMFESpark(features=["dw", "hist_entropy"], summaries=("mean",))
+    out = eng.extract_with_confidence(
+        _series_tagged(spark, sf_dir), sample_num=32
+    )
+    return out.select(
+        "conv_id", "series", "name",
+        (r(F.col("value")) + F.lit(0.0)).alias("value"),
+        (r(F.col("ci_low")) + F.lit(0.0)).alias("ci_low"),
+        (r(F.col("ci_high")) + F.lit(0.0)).alias("ci_high"),
+    )
+
+
 @register(
     "tile_stats",
     f"""

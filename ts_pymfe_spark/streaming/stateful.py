@@ -136,22 +136,28 @@ def sessionize_stream(turns: DataFrame, gap_seconds: int = 1800,
     )
 
 
-def sessionize_batch(turns: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize_batch(turns: DataFrame, gap_seconds: int = 1800,
+                     order_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
     """Batch oracle for ``sessionize_stream`` on fully-sorted data —
-    one window pass, no state."""
+    one window pass, no state.
+
+    ``order_cols``: pass ("ts", "turn_idx") when ts values can tie —
+    a cumulative window over a non-total order is engine-dependent."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy("conv_id").orderBy("ts")
-    gap = (
-        F.col("ts").cast("double")
-        - F.lag(F.col("ts").cast("double")).over(w)
-    )
-    flag = F.when(gap > gap_seconds, 1).otherwise(0)
-    return turns.select(
+    w = Window.partitionBy("conv_id").orderBy(*order_cols)
+    # the ts->timestamp hop keeps TIMESTAMP_NTZ sources castable
+    # (NTZ -> DOUBLE directly is a DATATYPE_MISMATCH; session tz is UTC)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    flagged = turns.select(
         "conv_id", "turn_idx", "ts",
-        F.sum(flag).over(
-            Window.partitionBy("conv_id").orderBy("ts")
-            .rowsBetween(Window.unboundedPreceding, 0)
+        F.when(gap > gap_seconds, 1).otherwise(0).alias("_flag"),
+    )
+    return flagged.select(
+        "conv_id", "turn_idx", "ts",
+        F.sum("_flag").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
         ).cast("long").alias("session_id"),
     )
