@@ -290,6 +290,76 @@ def q_moving_kurt(spark, sf_dir):
     )
 
 
+# rolling geometric mean: exp(mean(ln v)) per frame, NULL if any
+# in-frame value <= 0 (scipy gmean semantics) — same frame algebra on
+# both engines; ln/exp outputs are irrational (hash-grid safe).
+@register(
+    "moving_gmean",
+    _EDGE_CTE
+    + """
+    , g AS (
+      SELECT conv_id, turn_idx, rn, cnt,
+             min(value) OVER fr AS mn,
+             exp(avg(ln(CASE WHEN value > 0 THEN value END)) OVER fr)
+               AS gm
+      FROM w
+      WINDOW fr AS (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+    SELECT conv_id, turn_idx,
+           CASE WHEN mn > 0 THEN round(gm, 6) + 0.0 END AS mgmean
+    FROM g WHERE rn > 2 AND rn <= cnt - 2
+    """,
+)
+def q_moving_gmean(spark, sf_dir):
+    out = LS.rolling(_series(spark, sf_dir), "moving_gmean", 2)
+    return out.select(
+        "conv_id", "turn_idx",
+        (r(F.col("stat")) + F.lit(0.0)).alias("mgmean"),
+    )
+
+
+# Gorilla XOR + delta-of-delta codec round-trip as a driver-contract
+# surface: encode sf events per (conv, day), decode, count bit-exact
+# mismatches per conversation — the decoded stream must reproduce every
+# (ts, value) exactly (north-rule per-turn equality under compression).
+# The codec is not ANSI-SQL-expressible, so this is a rows-only entry;
+# the mismatch column doubling as an in-row assertion (all zeros).
+@register("gorilla_roundtrip", None)
+def q_gorilla_roundtrip(spark, sf_dir):
+    from ts_pymfe_spark.operators.compression import (
+        compress_segments,
+        decompress_segments,
+    )
+
+    s = _series_tagged(spark, sf_dir).select(
+        "conv_id", "series", F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    decoded = decompress_segments(compress_segments(s, "1d")).select(
+        "conv_id", "series",
+        F.col("ts").alias("d_ts"), F.col("value").alias("d_value"),
+    )
+    joined = s.join(
+        decoded,
+        (s.conv_id == decoded.conv_id) & (s.series == decoded.series)
+        & (s.ts == decoded.d_ts),
+        "left",
+    )
+    return (
+        joined.groupBy(s.conv_id.alias("conv_id"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(
+                F.when(
+                    F.col("d_value").isNull()
+                    | (F.col("d_value") != F.col("value")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_mismatch"),
+        )
+    )
+
+
 # batch sessionizer (the streaming operator's oracle form): cumulative
 # count of gaps > 600 s per conversation, total order (ts, turn_idx).
 @register(
@@ -1050,6 +1120,50 @@ def q_minhash_lsh(spark, sf_dir):
 )
 def q_simhash(spark, sf_dir):
     return TP.simhash64(read(spark, sf_dir, "documents"))
+
+
+# simhash hamming near-dup pairs (sixth dedup path): banded pigeonhole
+# join (4 × 15-bit bands — perfect recall for hamming ≤ 3, not
+# probabilistic), exact hamming via bit_count(xor).  The oracle
+# re-derives the signature (BIGINT horner md5 arithmetic), the band
+# split and the bit-count verification.
+@register(
+    "simhash_neardup",
+    f"""
+    WITH t AS ({_DOC_TOKENS}),
+    tok AS (SELECT doc_id, unnest(tokens) AS tok FROM t),
+    h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(
+                 string_split(substring(md5(tok), 1, 15), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, x) -> a * 16 + x) AS h
+      FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) g
+      GROUP BY doc_id, b),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, simhash, b AS band,
+             (simhash >> (15 * b)) & 32767 AS val
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM bands a JOIN bands b USING (band, val)
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def q_simhash_neardup(spark, sf_dir):
+    return TP.simhash_neardup_pairs(read(spark, sf_dir, "documents"))
 
 
 # flagship meta-feature extraction (TSMFE parity) — exercises the FULL

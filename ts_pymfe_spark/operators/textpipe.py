@@ -272,6 +272,72 @@ def simhash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return bit_sums.select(id_col, sim.alias("simhash"))
 
 
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
+                          num_bands: int = 4,
+                          id_col: str = "doc_id") -> DataFrame:
+    """SimHash hamming near-duplicate pairs — the SIXTH dedup path
+    (exact / minhash-LSH / n-gram-jaccard / simhash-hamming /
+    embedding-LSH / IVF): pairs of docs whose 60-bit SimHashes differ
+    in ≤ ``max_hamming`` bits.
+
+    Scale shape: banded pigeonhole join — the signature splits into
+    ``num_bands`` equal 15-bit bands; two signatures within hamming d
+    differ in at most d bands, so with num_bands > max_hamming at
+    least one band matches EXACTLY.  Candidates come from a hash join
+    on (band, band_value) — shuffle O(docs·bands), no all-pairs path —
+    and banding has PERFECT recall for hamming ≤ num_bands − 1 (not
+    probabilistic like minhash).  Exact hamming verified per candidate
+    via bit_count(xor), all JVM-side.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if max_hamming >= num_bands:
+        raise ValueError(
+            "pigeonhole recall guarantee needs max_hamming < num_bands"
+        )
+    if 60 % num_bands:
+        raise ValueError("num_bands must divide the 60-bit signature")
+    width = 60 // num_bands
+    mask = (1 << width) - 1
+    sim = simhash64(df, id_col)
+    bands = sim.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * width)
+                    .bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for b in range(num_bands)
+            ])
+        ).alias("bv"),
+    ).select(
+        id_col, "simhash",
+        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+        "band", "val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+        "band", "val",
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).alias("hamming"),
+        )
+        .distinct()  # a pair may collide on several bands
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------
