@@ -114,3 +114,38 @@ def test_minhash_lsh_no_cartesian(spark):
     p = plan(TP.minhash_lsh_candidates(docs))
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_simhash_neardup_no_cartesian_banded_join(spark):
+    """The sixth dedup path candidates come from a (band, val) hash
+    join — an all-pairs plan (CartesianProduct / BroadcastNestedLoop)
+    here would be O(docs²) at scale."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(TP.simhash_neardup_pairs(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_emb_neardup_multiprobe_no_cartesian(spark):
+    """Multi-probe explodes ONE side by num_planes+1 buckets; the PAIR
+    join must stay a bucket hash join, never all-pairs.  (The plan
+    legitimately contains BroadcastNestedLoopJoins — those are the
+    1-row broadcast hyperplane relations from with_lsh_bucket, O(rows)
+    each, not pairwise.)"""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan(TP.embedding_neardup_pairs(emb, dim=64, probe_radius=1))
+    assert "CartesianProduct" not in p
+    assert (
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+
+
+def test_moving_skew_single_window_no_extra_exchange(spark, turns):
+    """Frame-moment skew/kurt compute 4-5 window sums over the SAME
+    frame — one Window node, one exchange, not one per moment."""
+    from ts_pymfe_spark.operators.local_stats import rolling
+
+    s = derive_series(turns).filter(F.col("series") == "text_len")
+    p = plan(rolling(s, "moving_skewness", 3))
+    assert p.count("Exchange hashpartitioning") <= 1

@@ -150,3 +150,38 @@ def test_ivf_training_defaults_to_sampled(spark):
         df, n_lists=4, seed=7, max_train_rows=20
     )
     assert len(cents) == 4 and len(cents[0]) == 8
+
+
+def test_simhash_neardup_perfect_recall_vs_bruteforce(spark):
+    """Pigeonhole guarantee: with 4 bands over the 60-bit signature,
+    EVERY pair at hamming ≤ 3 must be found (deterministic, not
+    probabilistic like minhash banding) — assert set equality against
+    the all-pairs hamming computed in the test from the engine's own
+    signatures, plus hand-checkable precision (no pair above the
+    cutoff)."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = [
+        (0, base),
+        (1, base),                      # exact dup -> hamming 0
+        (2, base + "again"),            # near dup
+        (3, base.replace("quick", "rapid")),
+        (4, "completely different content about spark and parquet files"),
+        (5, "unrelated text with no overlap whatsoever in tokens"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+
+    sigs = {r["doc_id"]: r["simhash"] for r in TP.simhash64(df).collect()}
+    truth = set()
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(sigs[ids[i]] ^ sigs[ids[j]]).count("1")
+            if h <= 3:
+                truth.add((ids[i], ids[j], h))
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in TP.simhash_neardup_pairs(df).collect()
+    }
+    assert got == truth
+    assert (0, 1, 0) in got  # the exact dup is found at hamming 0
