@@ -1038,13 +1038,32 @@ def q_jaccard_pairs(spark, sf_dir):
 # Minhash/LSH is deterministic md5 arithmetic, so it IS SQL-expressible:
 # the oracle recomputes the 16 salted min-md5 signature mins, slices 4
 # bands, and self-joins on the band bucket — exactly the engine plan.
+# DuckDB hex-string -> BIGINT (horner reduce; no float pow — md5
+# prefixes can exceed double precision)
+_HEX2INT = (
+    "list_reduce(list_transform(string_split({h}, ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, x) -> a * 16 + x)"
+)
+
+
 _MINHASH_SALTS = 16
 _MINHASH_BANDS = 4
 
 
 def _minhash_oracle() -> str:
+    # one md5 per shingle -> 40-bit int, then linear permutations
+    # (a_i·x + b_i) mod 2^61−1 with md5-derived coefficients — the
+    # exact arithmetic of TP.minhash_signatures (round 3)
+    from ts_pymfe_spark.operators.textpipe import (
+        MINHASH_P,
+        minhash_perm_coef,
+    )
+
+    xexpr = _HEX2INT.format(h="substring(md5(shingle), 1, 10)")
     mins = ",\n             ".join(
-        f"min(md5('salt{i}:' || shingle)) AS h{i}"
+        f"min(({minhash_perm_coef('a', i)} * ({xexpr})"
+        f" + {minhash_perm_coef('b', i)}) % {MINHASH_P}) AS h{i}"
         for i in range(_MINHASH_SALTS)
     )
     rpb = _MINHASH_SALTS // _MINHASH_BANDS
@@ -1052,7 +1071,7 @@ def _minhash_oracle() -> str:
         "WHEN {b} THEN '{b}|' || {cols}".format(
             b=b,
             cols=" || '|' || ".join(
-                f"h{b * rpb + r}" for r in range(rpb)
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
             ),
         )
         for b in range(_MINHASH_BANDS)
@@ -1313,11 +1332,6 @@ def q_ann_topk(spark, sf_dir):
 
 # LSH-ANN: the hyperplanes are md5-derived (exact integer + power-of-2
 # arithmetic), so the oracle reproduces the bucketing bit-exactly.
-_HEX2INT = (
-    "list_reduce(list_transform(string_split({h}, ''), "
-    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
-    "(a, x) -> a * 16 + x)"
-)
 
 
 @register(
