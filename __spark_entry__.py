@@ -290,6 +290,98 @@ def q_moving_kurt(spark, sf_dir):
     )
 
 
+# quantile-trim entropy delta: H(full) − H([p,1−p]-band values); the
+# trim boundary uses percentile/quantile_cont (bit-identical linear
+# interpolation on both engines), entropies the same bucket algebra as
+# the green hist_entropy query.
+@register(
+    "hist_ent_out_diff",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    hf AS (
+      SELECT conv_id, -sum(p * ln(p)) / ln(10.0) AS h_full FROM (
+        SELECT conv_id, count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY conv_id) AS p
+        FROM (
+          SELECT s.conv_id,
+                 CAST(least(floor((s.value - mm.mn) / ((mm.mx - mm.mn) / 10)), 9) AS INT) AS bin
+          FROM s JOIN (SELECT conv_id, min(value) AS mn, max(value) AS mx
+                       FROM s GROUP BY conv_id) mm USING (conv_id))
+        GROUP BY conv_id, bin)
+      GROUP BY conv_id),
+    q AS (SELECT conv_id, quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM s GROUP BY conv_id),
+    inner_s AS (
+      SELECT s.conv_id, s.value FROM s JOIN q USING (conv_id)
+      WHERE s.value >= q.lo AND s.value <= q.hi),
+    hi_e AS (
+      SELECT conv_id, -sum(p * ln(p)) / ln(10.0) AS h_inner FROM (
+        SELECT conv_id, count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY conv_id) AS p
+        FROM (
+          SELECT i.conv_id,
+                 CAST(least(floor((i.value - mm.mn) / ((mm.mx - mm.mn) / 10)), 9) AS INT) AS bin
+          FROM inner_s i JOIN (SELECT conv_id, min(value) AS mn, max(value) AS mx
+                               FROM inner_s GROUP BY conv_id) mm USING (conv_id))
+        GROUP BY conv_id, bin)
+      GROUP BY conv_id)
+    SELECT hf.conv_id, round(h_full - h_inner, 6) + 0.0 AS ent_out_diff
+    FROM hf JOIN hi_e USING (conv_id)
+    """,
+)
+def q_hist_ent_out_diff(spark, sf_dir):
+    out = IT.hist_ent_out_diff(_series(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        (r(F.col("hist_ent_out_diff")) + F.lit(0.0)).alias("ent_out_diff"),
+    )
+
+
+# seasonal peak-position mode (ft_peak_frac): argmax position per full
+# 12-sample chunk (first index on ties), mode over chunks (smallest
+# position on count ties) — np.argmax/np.bincount semantics spelled as
+# window SQL on both engines.
+@register(
+    "peak_frac",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    b AS (
+      -- floor() is explicit: DuckDB CAST(double AS INT) ROUNDS where
+      -- Spark's cast truncates
+      SELECT conv_id, value AS v,
+             CAST(floor((row_number() OVER ord - 1) / 12) AS INT) AS chunk,
+             (row_number() OVER ord - 1) % 12 AS pos,
+             count(*) OVER (PARTITION BY conv_id) AS n
+      FROM s
+      WINDOW ord AS (PARTITION BY conv_id ORDER BY turn_idx)),
+    f AS (SELECT * FROM b
+          WHERE n >= 24 AND chunk < CAST(floor(n / 12) AS INT)),
+    ext AS (
+      SELECT conv_id, chunk, pos, v,
+             max(v) OVER (PARTITION BY conv_id, chunk) AS mx
+      FROM f),
+    args AS (
+      SELECT conv_id, chunk, min(pos) AS arg
+      FROM ext WHERE v = mx GROUP BY conv_id, chunk),
+    counts AS (
+      SELECT conv_id, arg, count(*) AS c FROM args GROUP BY conv_id, arg),
+    mode AS (
+      SELECT conv_id, arg,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY c DESC, arg ASC) AS rk
+      FROM counts)
+    SELECT conv_id, round(arg / 12.0, 6) + 0.0 AS frac
+    FROM mode WHERE rk = 1
+    """,
+)
+def q_peak_frac(spark, sf_dir):
+    from ts_pymfe_spark.operators.sequence import peak_trough_frac
+
+    out = peak_trough_frac(_series(spark, sf_dir), period=12, which="peak")
+    return out.select(
+        "conv_id", (r(F.col("frac")) + F.lit(0.0)).alias("frac")
+    )
+
+
 # rolling geometric mean: exp(mean(ln v)) per frame, NULL if any
 # in-frame value <= 0 (scipy gmean semantics) — same frame algebra on
 # both engines; ln/exp outputs are irrational (hash-grid safe).

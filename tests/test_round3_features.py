@@ -185,3 +185,51 @@ def test_simhash_neardup_perfect_recall_vs_bruteforce(spark):
     }
     assert got == truth
     assert (0, 1, 0) in got  # the exact dup is found at hamming 0
+
+
+def test_sql_peak_frac_matches_kernel(spark, turns):
+    """Dual-path check: the SQL peak/trough operator must equal the
+    numpy twin (kernels.peak_trough_frac) on every conversation."""
+    from ts_pymfe_spark.functions import kernels as K
+    from ts_pymfe_spark.operators.sequence import peak_trough_frac
+
+    s = series_of(turns, "text_len")
+    pdf = s.orderBy("conv_id", "turn_idx").toPandas()
+    for which in ("peak", "trough"):
+        got = {
+            r["conv_id"]: r["frac"]
+            for r in peak_trough_frac(s, period=12, which=which).collect()
+        }
+        checked = 0
+        for cid, grp in pdf.groupby("conv_id"):
+            x = grp["value"].to_numpy(dtype=float)
+            exp = K.peak_trough_frac(x, 12, which)
+            if np.isnan(exp):
+                assert cid not in got
+            else:
+                assert got[cid] == pytest.approx(exp, abs=0), (which, cid)
+                checked += 1
+        assert checked > 0
+
+
+def test_sql_hist_ent_out_diff_matches_kernel(spark, turns):
+    """Dual-path check: the SQL quantile-trim entropy delta must match
+    the Arrow kernel twin (both normalized by log(10); numpy linear-
+    interpolated quantile == Spark percentile)."""
+    from ts_pymfe_spark.operators.arrow_kernels import _hist_ent_out_diff
+    from ts_pymfe_spark.operators.info_theory import hist_ent_out_diff
+
+    s = series_of(turns, "text_len")
+    got = {
+        r["conv_id"]: r["hist_ent_out_diff"]
+        for r in hist_ent_out_diff(s).collect()
+    }
+    pdf = s.orderBy("conv_id", "turn_idx").toPandas()
+    checked = 0
+    for cid, grp in pdf.groupby("conv_id"):
+        x = grp["value"].to_numpy(dtype=float)
+        exp = _hist_ent_out_diff(x)
+        if np.isfinite(exp) and cid in got:
+            assert got[cid] == pytest.approx(exp, abs=1e-9), cid
+            checked += 1
+    assert checked > 0

@@ -81,6 +81,36 @@ def ami_histogram(df: DataFrame, lag: int = 1, num_bins: int = 64,
     )
 
 
+def hist_ent_out_diff(df: DataFrame, p: float = 0.05, num_bins: int = 10,
+                      value: str = "value") -> DataFrame:
+    """ft_hist_ent_out_diff as pure SQL (``info_theory.py:258-316``;
+    Arrow kernel twin: operators/arrow_kernels._hist_ent_out_diff):
+    H(full) − H(values within the [p, 1−p] quantile band), both the
+    normalized histogram entropy above.  Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share linear interpolation bit-for-bit,
+    so the trim boundary is engine-stable.
+
+    One row per conv_id: (conv_id, hist_ent_out_diff)."""
+    full = hist_entropy(df, num_bins, value).withColumnRenamed(
+        "hist_entropy", "_h_full"
+    )
+    qs = df.groupBy("conv_id").agg(
+        F.percentile(value, p).alias("_lo"),
+        F.percentile(value, 1 - p).alias("_hi"),
+    )
+    inner = (
+        df.join(qs, "conv_id")
+        .filter((F.col(value) >= F.col("_lo")) & (F.col(value) <= F.col("_hi")))
+    )
+    trimmed = hist_entropy(inner, num_bins, value).withColumnRenamed(
+        "hist_entropy", "_h_inner"
+    )
+    return full.join(trimmed, "conv_id").select(
+        "conv_id",
+        (F.col("_h_full") - F.col("_h_inner")).alias("hist_ent_out_diff"),
+    )
+
+
 def dw_stat(df: DataFrame, value: str = "value") -> DataFrame:
     """Durbin-Watson statistic scaled to [0,1] as the reference does
     (``stat_tests.py:29-69``: statsmodels durbin_watson / 4):

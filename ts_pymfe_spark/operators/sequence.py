@@ -249,3 +249,46 @@ def acf_at_lags(df: DataFrame, max_lag: int, adjusted: bool = True,
     return wide_acf.select(
         "conv_id", F.expr(f"stack({max_lag}, {pairs}) as (lag, acf)")
     )
+
+
+def peak_trough_frac(df: DataFrame, period: int, which: str = "peak",
+                     value: str = "value") -> DataFrame:
+    """ft_peak_frac / ft_trough_frac as pure SQL (``general.py:855-992``;
+    numpy twin kernels.peak_trough_frac): split the series into full
+    ``period``-length chunks, take the argmax (peak) / argmin (trough)
+    POSITION inside each chunk — first index on ties, np.argmax
+    semantics — and return the mode of those positions as a fraction
+    of the period (smallest position on count ties, np.bincount-argmax
+    semantics).  Conversations shorter than two full periods are
+    dropped (the kernel returns nan there).
+
+    One row per conv_id: (conv_id, frac)."""
+    p = int(period)
+    pos0 = F.row_number().over(W_SERIES()) - 1
+    n = F.count("*").over(W_CONV())
+    base = df.select(
+        "conv_id", F.col(value).alias("_v"),
+        (pos0 / p).cast("int").alias("_chunk"),
+        (pos0 % p).alias("_pos"),
+        n.alias("_n"),
+    ).filter(
+        (F.col("_n") >= 2 * p)
+        & (F.col("_chunk") < (F.col("_n") / p).cast("int"))
+    )
+    wch = Window.partitionBy("conv_id", "_chunk")
+    ext = F.max("_v").over(wch) if which == "peak" else F.min("_v").over(wch)
+    arg = (
+        base.withColumn("_ext", ext)
+        .filter(F.col("_v") == F.col("_ext"))
+        .groupBy("conv_id", "_chunk")
+        .agg(F.min("_pos").alias("_arg"))  # FIRST extreme index on ties
+    )
+    counts = arg.groupBy("conv_id", "_arg").agg(F.count("*").alias("_c"))
+    wmode = Window.partitionBy("conv_id").orderBy(
+        F.col("_c").desc(), F.col("_arg").asc()
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(wmode))
+        .filter(F.col("_rk") == 1)
+        .select("conv_id", (F.col("_arg") / p).alias("frac"))
+    )
