@@ -408,6 +408,22 @@ def _embed(x: np.ndarray, dim: int, lag: int = 1) -> np.ndarray:
                             for j in range(dim)])
 
 
+def _cheb_dist_by_dim(x: np.ndarray, max_dim: int):
+    """Yield (dim, rows, D) for dim = 1..max_dim where D is the
+    rows×rows Chebyshev distance matrix over the dim-length embedding
+    windows of ``x`` — built INCREMENTALLY (D_d = max(D_{d-1}, new
+    coordinate diff)), the same O(n²)-per-dim trick as cao_e1_e2,
+    instead of an O(n²·d) broadcast tensor per dimension."""
+    n = x.size
+    D = None
+    for d in range(1, max_dim + 1):
+        rows = n - d + 1
+        v = x[d - 1 : d - 1 + rows]
+        step = np.abs(np.subtract.outer(v, v))
+        D = step if D is None else np.maximum(D[:rows, :rows], step)
+        yield d, rows, D
+
+
 def approx_entropy(ts: np.ndarray, m: int = 2, factor: float = 0.2,
                    max_n: int = 512) -> float:
     """ApEn(m, r=factor·std, Chebyshev) — ``info_theory.py:764-837``.
@@ -417,14 +433,12 @@ def approx_entropy(ts: np.ndarray, m: int = 2, factor: float = 0.2,
     if x.size > max_n:
         x = x[-max_n:]
     r = factor * x.std(ddof=0)
-    def phi(mm: int) -> float:
-        emb = _embed(x, mm)
-        n = emb.shape[0]
-        # chebyshev distances
-        d = np.max(np.abs(emb[:, None, :] - emb[None, :, :]), axis=2)
-        c = (d <= r).sum(axis=1) / n
-        return float(np.mean(np.log(c)))
-    return phi(m) - phi(m + 1)
+    phis = {}
+    for d, rows, D in _cheb_dist_by_dim(x, m + 1):
+        if d in (m, m + 1):
+            c = (D <= r).sum(axis=1) / rows
+            phis[d] = float(np.mean(np.log(c)))
+    return phis[m] - phis[m + 1]
 
 
 def sample_entropy(ts: np.ndarray, m: int = 2, factor: float = 0.2,
@@ -435,12 +449,12 @@ def sample_entropy(ts: np.ndarray, m: int = 2, factor: float = 0.2,
     if x.size > max_n:
         x = x[-max_n:]
     r = factor * x.std(ddof=0)
-    def count(mm: int) -> int:
-        emb = _embed(x, mm)
-        d = np.max(np.abs(emb[:, None, :] - emb[None, :, :]), axis=2)
-        iu = np.triu_indices(emb.shape[0], k=1)
-        return int((d[iu] <= r).sum())
-    a, b = count(m + 1), count(m)
+    counts = {}
+    for d, rows, D in _cheb_dist_by_dim(x, m + 1):
+        if d in (m, m + 1):
+            iu = np.triu_indices(rows, k=1)
+            counts[d] = int((D[iu] <= r).sum())
+    a, b = counts[m + 1], counts[m]
     if b == 0 or a == 0:
         return np.nan
     return -math.log(a / b)
@@ -1163,14 +1177,26 @@ def _clip01(v: float) -> float:
     return min(1.0 - 1e-6, max(1e-6, v))
 
 
+#: per-worker memos: des_level/des_trend consume ONE Holt fit and
+#: ets_level/trend/season ONE Holt-Winters fit, but each registry
+#: feature calls the fitter independently — the same consecutive-
+#: caller pattern (and fix) as the GP cache above.
+_DES_CACHE: dict[bytes, tuple[float, float]] = {}
+_ETS_CACHE: dict[tuple[bytes, int], tuple[float, float, float]] = {}
+
+
 def des_params(ts: np.ndarray) -> tuple[float, float]:
     """Holt double-exponential-smoothing (alpha, beta) by SSE
     minimization (reference model_based.py:294-344 via statsmodels
-    Holt().fit())."""
+    Holt().fit()).  Memoized per series."""
     x = np.asarray(ts, dtype=float)
     n = x.size
     if n < 5:
         return np.nan, np.nan
+    key = x.tobytes()
+    hit = _DES_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     def sse(p):
         a, b = _clip01(p[0]), _clip01(p[1])
@@ -1186,17 +1212,26 @@ def des_params(ts: np.ndarray) -> tuple[float, float]:
         return s
 
     a, b = nelder_mead(sse, np.array([0.3, 0.1]))
-    return _clip01(a), _clip01(b)
+    out = (_clip01(a), _clip01(b))
+    if len(_DES_CACHE) >= 8:
+        _DES_CACHE.clear()
+    _DES_CACHE[key] = out
+    return out
 
 
 def ets_params(ts: np.ndarray, period: int) -> tuple[float, float, float]:
     """Holt-Winters additive (alpha, beta, gamma) by SSE minimization
-    (reference model_based.py:346-413 via ExponentialSmoothing)."""
+    (reference model_based.py:346-413 via ExponentialSmoothing).
+    Memoized per (series, period)."""
     x = np.asarray(ts, dtype=float)
     n = x.size
     m = int(period)
     if m < 2 or n < 2 * m + 2:
         return np.nan, np.nan, np.nan
+    key = (x.tobytes(), m)
+    hit = _ETS_CACHE.get(key)
+    if hit is not None:
+        return hit
     seas0 = x[:m] - x[:m].mean()
 
     def sse(p):
@@ -1216,7 +1251,11 @@ def ets_params(ts: np.ndarray, period: int) -> tuple[float, float, float]:
         return s
 
     a, b, g = nelder_mead(sse, np.array([0.3, 0.05, 0.1]))
-    return _clip01(a), _clip01(b), _clip01(g)
+    out = (_clip01(a), _clip01(b), _clip01(g))
+    if len(_ETS_CACHE) >= 8:
+        _ETS_CACHE.clear()
+    _ETS_CACHE[key] = out
+    return out
 
 
 def orthopoly_features(ts: np.ndarray) -> tuple[float, float]:
