@@ -352,7 +352,12 @@ def main() -> None:
         saved = (SCALING_SF, SYNTH_CACHE)
         SCALING_SF, SYNTH_CACHE = 2.0, "/tmp/ts_pymfe_spark_bench_turns_sf2.0"
         p1 = ensure_synth_input()
-        r28 = interleaved_scaling(p1, levels=(2, 8), reps=3)
+        # reps=4: measured across four sessions the 2->8 ratio swings
+        # 0.68-0.89 with hidden DRAM contention that hits the 8-thread
+        # phase hardest (ALU probes stay ~31 cores while local[8]
+        # slows 20-50%); min-of-4 interleaved reps samples more
+        # windows for each level's cleanest run
+        r28 = interleaved_scaling(p1, levels=(2, 8), reps=4)
         SCALING_SF, SYNTH_CACHE = 4.0, "/tmp/ts_pymfe_spark_bench_turns_sf4.0"
         p2 = ensure_synth_input()
         r832 = interleaved_scaling(p2, levels=(8, 32), reps=2)
