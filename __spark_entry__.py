@@ -48,6 +48,18 @@ def _series_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _series(spark, sf_dir).withColumn("series", F.lit("value"))
 
 
+def _series_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged series pre-partitioned by conv_id — the single-shuffle
+    rollup plan (operators/rollup.py round-4 note): conv_id is a subset
+    of every tier group key, so the rollup/cascade aggregations over
+    this relation add no further exchange.  Sparse-series measurement
+    (SF=1): grouping the un-partitioned relation shuffles a 13-field
+    moment vector per near-unique key (~3.9 GB); this shuffles one slim
+    raw row (~0.4 GB)."""
+    n = spark.sparkContext.defaultParallelism * 2
+    return _series_tagged(spark, sf_dir).repartition(n, "conv_id")
+
+
 def r(col, nd=6):
     return F.round(col, nd)
 
@@ -79,7 +91,7 @@ def register(name: str, sql: str | None):
     """,
 )
 def q_rollup_1m(spark, sf_dir):
-    m = rollup_raw(_series_tagged(spark, sf_dir), "1m")
+    m = rollup_raw(_series_part(spark, sf_dir), "1m")
     return m.select(
         "conv_id",
         F.col("bucket_start").cast("string").alias("bucket"),
@@ -105,7 +117,7 @@ def q_rollup_1m(spark, sf_dir):
 def q_rollup_1h_cascade(spark, sf_dir):
     # proves the moment-merge algebra: Spark goes raw->1m->merge->1h,
     # the oracle aggregates raw->1h directly
-    h = cascade(rollup_raw(_series_tagged(spark, sf_dir), "1m"), "1h")
+    h = cascade(rollup_raw(_series_part(spark, sf_dir), "1m"), "1h")
     return h.select(
         "conv_id",
         F.col("bucket_start").cast("string").alias("bucket"),
@@ -142,7 +154,7 @@ def q_rollup_1h_cascade(spark, sf_dir):
     """,
 )
 def q_tier_stats_1d(spark, sf_dir):
-    d = rollup_raw(_series_tagged(spark, sf_dir), "1d").select(
+    d = rollup_raw(_series_part(spark, sf_dir), "1d").select(
         "conv_id",
         F.col("bucket_start").cast("string").alias("bucket"),
         *stat_columns(),
@@ -1718,7 +1730,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from ts_pymfe_spark.operators.rollup import build_all_tiers
 
     sf_dir = "/root/testdata/sf0.001"
-    tiers = build_all_tiers(_series_tagged(spark, sf_dir), salted=True)
+    tiers = build_all_tiers(_series_part(spark, sf_dir), salted=False)
     return tiers["1h"].select(
         "conv_id", "series", "bucket_start", *stat_columns()
     )

@@ -59,14 +59,20 @@ def main() -> None:
     else:
         turns = read_turns(spark, args.input)
 
-    series = derive_series(turns)
-    tiers = build_all_tiers(series, salted=True, persist=True)
+    # Single-shuffle cascade (operators/rollup.py round-4 note): one
+    # conv_id repartition of slim pre-stack rows serves every tier's
+    # group key; salting is reserved for genuinely hot single keys
+    # (--salted), which 1-minute buckets of per-turn data do not have.
+    par = spark.sparkContext.defaultParallelism * 4
+    series = derive_series(turns, partition_by=("conv_id",), partitions=par)
+    tiers = build_all_tiers(series, salted=False, persist=True)
     all_metrics: dict[str, list] = {}
     for tier in TIER_ORDER:
         w = CheckpointedWriter(
             spark, f"{args.output}/tier={tier}", run_id=args.run_id
         )
         all_metrics[tier] = w.run(tiers[tier], "bucket_start", "day")
+    tiers.unpersist_all()
 
     if args.compress:
         from ts_pymfe_spark.operators.compression import compress_segments

@@ -149,3 +149,43 @@ def test_moving_skew_single_window_no_extra_exchange(spark, turns):
     s = derive_series(turns).filter(F.col("series") == "text_len")
     p = plan(rolling(s, "moving_skewness", 3))
     assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_prepartitioned_cascade_is_single_exchange_end_to_end(spark, turns):
+    """Round-4 single-shuffle cascade: partition once by conv_id at
+    derive time; every downstream group key (conv_id, series, bucket)
+    contains conv_id, so ClusteredDistribution is satisfied and the
+    whole raw->1m->1h->1d path (turn-rate branch included) plans with
+    EXACTLY one Exchange — the derive-time repartition.  A regression
+    that re-shuffles (e.g. cascading over a unionByName, which erases
+    partitioning info) fails here."""
+    from ts_pymfe_spark.operators.rollup import build_all_tiers
+
+    series = derive_series(turns, partition_by=("conv_id",), partitions=8)
+    tiers = build_all_tiers(series, salted=False, include_turn_rate=True)
+    for tier in ("1m", "1h", "1d"):
+        p = plan(tiers[tier])
+        n_branches = 2  # main + turn-rate, each carrying the ONE repartition
+        assert p.count("Exchange") == n_branches, (
+            f"tier {tier}: expected 1 exchange per branch, plan:\n{p}"
+        )
+        assert "REPARTITION_BY_COL" in p or "hashpartitioning(conv_id" in p
+
+
+def test_prepartitioned_cascade_matches_salted_cascade(spark, turns):
+    """Value-level: the single-shuffle plan and the salted two-phase
+    plan produce identical tier rows (moment merge is associative and
+    all synth values are small integers -> float64-exact sums)."""
+    from ts_pymfe_spark.operators.rollup import KEY, build_all_tiers
+
+    a = build_all_tiers(derive_series(turns), salted=True)
+    b = build_all_tiers(
+        derive_series(turns, partition_by=("conv_id",), partitions=4),
+        salted=False,
+    )
+    for tier in ("1m", "1h", "1d"):
+        pa = a[tier].orderBy(*KEY).toPandas()
+        pb = b[tier].orderBy(*KEY).toPandas()
+        import pandas.testing as pdt
+
+        pdt.assert_frame_equal(pa, pb, check_exact=False, rtol=1e-12)

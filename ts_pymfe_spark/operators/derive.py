@@ -28,13 +28,31 @@ from pyspark.sql import functions as F
 TURN_SERIES = ("text_len", "tool_flag")
 
 
-def derive_series(turns: DataFrame) -> DataFrame:
+def derive_series(turns: DataFrame,
+                  partition_by: tuple[str, ...] | None = None,
+                  partitions: int | None = None) -> DataFrame:
     """(conv_id, series, turn_idx, ts, value) — one row per turn per series.
 
     ``stack`` (UNPIVOT) is a narrow transformation: no shuffle, fully
     pushed into the scan projection (only text-length and tool nullity
     are read; Catalyst prunes role/text bytes at the parquet reader
     when upstream allows).
+
+    ``partition_by`` (typically ``("conv_id",)``): hash-repartition the
+    PROJECTED pre-stack rows by these columns.  This is the cascade's
+    single-shuffle design (round 4): because ``conv_id`` is a subset of
+    every downstream group key — (conv_id, series, bucket) at 1m, 1h,
+    1d, and the turn-rate re-rollup — Catalyst's ClusteredDistribution
+    is satisfied by this one HashPartitioning and NO further exchange
+    appears anywhere in the tier cascade.  Shuffling here moves one
+    slim row per turn (text bytes already projected away); shuffling at
+    the aggregates instead moves a 13-field moment vector per
+    near-unique (conv, series, minute) key — measured 3.9 GB vs 0.4 GB
+    at SF=1 (sparse series: only ~2.9 raw rows per 1m bucket, so
+    map-side partials EXPAND the data instead of reducing it).
+    Conversation-level skew is bounded (the Zipf-head conversation is
+    ~0.2% of rows — FIXTURES.md), and ``partitions`` should be set to
+    2-4x total cores so no core idles; pass None to let AQE size it.
     """
     base = turns.select(
         "conv_id",
@@ -43,6 +61,11 @@ def derive_series(turns: DataFrame) -> DataFrame:
         F.length("text").cast("double").alias("text_len"),
         F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0).alias("tool_flag"),
     )
+    if partition_by:
+        if partitions:
+            base = base.repartition(partitions, *partition_by)
+        else:
+            base = base.repartition(*partition_by)
     n = len(TURN_SERIES)
     stack_expr = ", ".join(f"'{s}', {s}" for s in TURN_SERIES)
     return base.select(

@@ -14,13 +14,27 @@ Scale design:
   - The 1m aggregation is the only pass over raw points; everything
     above it shuffles O(#buckets) rows.  At 10^12 turns / ~10^9
     conv-minutes that is a 1000x shuffle reduction per level.
-  - Skew: hot conversations (Zipf head, FIXTURES.md) concentrate rows
-    in few (conv_id, bucket) keys.  Hash aggregation already computes
-    map-side partials, and ``salted=True`` additionally pre-aggregates
-    on (conv_id, series, bucket, salt) before the final merge —
-    identical results (moment merge is associative+commutative), but no
-    single reducer ever owns a whole hot key.  AQE skew handling stays
-    on as the runtime backstop (session.py).
+  - Shuffle strategy is DENSITY-AWARE (round-4 measurement):
+      * sparse series (few rows per (conv, series, minute) — transcript
+        turn cadence: ~2.9 rows/bucket measured at SF=1): map-side
+        partials EXPAND the data (a 13-field moment vector per
+        near-unique key) instead of reducing it — measured 3.9 GB
+        shuffled from a 128 MB input, twice with salting.  The right
+        plan partitions ONCE by conv_id upstream
+        (``derive_series(partition_by=("conv_id",))``): conv_id is a
+        subset of every tier group key, so the entire raw->1m->1h->1d
+        cascade plans with exactly one exchange of slim raw rows
+        (~0.4 GB at SF=1; audited in tests/test_plan_audits.py).
+        Conversation-level skew is bounded: the Zipf-head conversation
+        is ~0.2% of rows (FIXTURES.md), far below task granularity.
+      * dense series (many points per bucket — e.g. 1s-cadence sensors
+        rolled to 1h): plain groupBy; map-side partials reduce
+        O(points) to O(buckets) before the exchange and win.
+      * hot single keys (one (conv, bucket) with ~10^6+ rows):
+        ``salted=True`` two-phase pre-aggregation on (key, salt) —
+        identical results (moment merge is associative+commutative),
+        no single reducer owns a whole hot key.
+    AQE skew handling stays on as the runtime backstop (session.py).
   - ``turn_rate`` is rollup-emergent: the count-per-finer-bucket becomes
     the *value* series one tier up (turns/minute rolled into 1h/1d
     moment vectors).
@@ -95,31 +109,81 @@ def turn_rate_series(tier_df: DataFrame, base_series: str = "text_len") -> DataF
     )
 
 
+class TierMap(dict):
+    """{tier: moments DataFrame} plus ``aux``: inner persisted
+    DataFrames that back the tiers but are not tiers themselves.
+
+    ``unpersist_all()`` releases every cache this cascade registered.
+    Round-4 fix: the pre-union 1m moment relation (persisted so the
+    emergent turn-rate rollup and the union both read it once) was
+    previously persisted but never surfaced to callers — it stayed in
+    the session CacheManager after ``tiers.values()`` were unpersisted,
+    and because Catalyst cache substitution matches on CANONICAL plans,
+    every later query over the same input path silently read the leaked
+    cache instead of scanning raw.  That both held executor storage
+    memory indefinitely (a real leak at production scale) and made
+    rounds 2-3's repeated-run benchmarks time cache-assisted reruns
+    (BENCH/BASELINE.md, round-4 note).
+    """
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.aux: list[DataFrame] = []
+
+    def unpersist_all(self) -> None:
+        for df in self.values():
+            df.unpersist()
+        for df in self.aux:
+            df.unpersist()
+
+
 def build_all_tiers(series_df: DataFrame, salted: bool = True,
                     include_turn_rate: bool = True,
-                    persist: bool = False) -> dict[str, DataFrame]:
-    """The full cascade.  Returns {tier: moments DataFrame}.
+                    persist: bool = False) -> TierMap:
+    """The full cascade.  Returns TierMap {tier: moments DataFrame}.
 
     ``persist=True`` caches the 1m tier (it is consumed twice: by the
     emergent turn-rate rollup and by the 1h cascade) and the 1h tier
     (consumed by 1d) — the reference's precompute-cache idea
     (``_internal.py:1158-1331``) applied to tiers.  Callers that write
     each tier to storage (plans/manifest.py) should leave this False
-    and rely on the written table instead."""
+    and rely on the written table instead.  Callers that persist MUST
+    release with ``tiers.unpersist_all()`` (not just per-tier
+    unpersist) — see TierMap."""
     from pyspark import StorageLevel
 
-    tiers: dict[str, DataFrame] = {}
+    from functools import reduce
+
+    def _union(dfs: list[DataFrame]) -> DataFrame:
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    def _persist(df: DataFrame, tiers: TierMap) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        tiers.aux.append(df)
+        return df
+
+    # Branch-wise cascade: the main (text_len/tool_flag) branch and the
+    # emergent turn-rate branch are rolled up 1h/1d SEPARATELY and only
+    # union-ed per tier.  Rationale: a unionByName erases Catalyst's
+    # output-partitioning info, so cascading the union would re-shuffle
+    # every 1m moment vector even when the input was pre-partitioned by
+    # conv_id (derive_series(partition_by=...)); per-branch cascades
+    # keep ClusteredDistribution satisfied and the whole raw->1d path
+    # needs exactly ONE exchange (audited in tests/test_plan_audits.py).
+    tiers = TierMap()
     t1m = rollup_raw(series_df, "1m", salted=salted)
+    if persist:
+        t1m = _persist(t1m, tiers)
+    branches = [t1m]
     if include_turn_rate:
-        if persist:
-            t1m = t1m.persist(StorageLevel.MEMORY_AND_DISK)
         rate = rollup_raw(turn_rate_series(t1m), "1m", salted=False)
-        t1m = t1m.unionByName(rate)
-    tiers["1m"] = t1m
+        if persist:
+            rate = _persist(rate, tiers)
+        branches.append(rate)
+    tiers["1m"] = _union(branches)
+    branches_1h = [cascade(b, "1h") for b in branches]
     if persist:
-        tiers["1m"] = tiers["1m"].persist(StorageLevel.MEMORY_AND_DISK)
-    tiers["1h"] = cascade(tiers["1m"], "1h")
-    if persist:
-        tiers["1h"] = tiers["1h"].persist(StorageLevel.MEMORY_AND_DISK)
-    tiers["1d"] = cascade(tiers["1h"], "1d")
+        branches_1h = [_persist(b, tiers) for b in branches_1h]
+    tiers["1h"] = _union(branches_1h)
+    tiers["1d"] = _union([cascade(b, "1d") for b in branches_1h])
     return tiers
