@@ -326,6 +326,9 @@ def q_moving_kurt(spark, sf_dir):
     inner_s AS (
       SELECT s.conv_id, s.value FROM s JOIN q USING (conv_id)
       WHERE s.value >= q.lo AND s.value <= q.hi),
+    -- degenerate-trim guard (mirrors the Spark/Arrow nan contract):
+    -- conversations whose trimmed set has < 2 values emit no row
+    big AS (SELECT conv_id FROM inner_s GROUP BY conv_id HAVING count(*) >= 2),
     hi_e AS (
       SELECT conv_id, -sum(p * ln(p)) / ln(10.0) AS h_inner FROM (
         SELECT conv_id, count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY conv_id) AS p
@@ -337,7 +340,7 @@ def q_moving_kurt(spark, sf_dir):
         GROUP BY conv_id, bin)
       GROUP BY conv_id)
     SELECT hf.conv_id, round(h_full - h_inner, 6) + 0.0 AS ent_out_diff
-    FROM hf JOIN hi_e USING (conv_id)
+    FROM hf JOIN hi_e USING (conv_id) JOIN big USING (conv_id)
     """,
 )
 def q_hist_ent_out_diff(spark, sf_dir):
@@ -351,7 +354,8 @@ def q_hist_ent_out_diff(spark, sf_dir):
 # seasonal peak-position mode (ft_peak_frac): argmax position per full
 # 12-sample chunk (first index on ties), mode over chunks (smallest
 # position on count ties) — np.argmax/np.bincount semantics spelled as
-# window SQL on both engines.
+# window SQL on both engines; +1 matches the reference's executed
+# 1-based mode index (general.py:296, round-4 ADVICE decision).
 @register(
     "peak_frac",
     f"""
@@ -381,7 +385,7 @@ def q_hist_ent_out_diff(spark, sf_dir):
              row_number() OVER (PARTITION BY conv_id
                                 ORDER BY c DESC, arg ASC) AS rk
       FROM counts)
-    SELECT conv_id, round(arg / 12.0, 6) + 0.0 AS frac
+    SELECT conv_id, round((arg + 1) / 12.0, 6) + 0.0 AS frac
     FROM mode WHERE rk = 1
     """,
 )

@@ -373,8 +373,9 @@ def test_peak_trough_frac_on_pure_sine(procs):
     the argmin at 9/12 — exact fractions."""
     t = np.arange(480)
     s = np.sin(2 * np.pi * t / 12)
-    assert K.peak_trough_frac(s, 12, "peak") == pytest.approx(0.25)
-    assert K.peak_trough_frac(s, 12, "trough") == pytest.approx(0.75)
+    # 0-based argmax pos 3, +1 (reference-executed 1-based) -> 4/12
+    assert K.peak_trough_frac(s, 12, "peak") == pytest.approx(4 / 12)
+    assert K.peak_trough_frac(s, 12, "trough") == pytest.approx(10 / 12)
 
 
 # ---------------------------------------------------------------------------

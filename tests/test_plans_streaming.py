@@ -200,3 +200,28 @@ def test_sessionizer_timeout_mode_wiring(spark):
     )
     assert "NoTimeout" in plan_none
     assert "ProcessingTimeTimeout" in plan_evict
+
+
+def test_checkpointed_writer_single_upstream_execution(spark, turns, tmp_path):
+    """Round-4 redesign: run() must execute the upstream pipeline ONCE
+    for all pending partitions (the old form ran one full job per day —
+    #days x pipeline cost at scale).  An accumulator on the upstream
+    rows proves it: after a multi-day write it equals the row count,
+    not partitions x rows."""
+    acc = spark.sparkContext.accumulator(0)
+
+    tier = rollup_raw(derive_series(turns), "1h")
+
+    def _count(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    counted = tier.mapInPandas(_count, schema=tier.schema)
+    root = str(tmp_path / "single_exec")
+    w = CheckpointedWriter(spark, root, run_id="once")
+    committed = w.run(counted, "bucket_start", "day")
+    total_rows = sum(e["rows"] for e in committed)
+    assert len(committed) > 1           # multi-partition write
+    assert total_rows == tier.count()
+    assert acc.value == total_rows      # upstream ran exactly once

@@ -233,3 +233,47 @@ def test_sql_hist_ent_out_diff_matches_kernel(spark, turns):
             assert got[cid] == pytest.approx(exp, abs=1e-9), cid
             checked += 1
     assert checked > 0
+
+
+def test_sql_hist_ent_out_diff_degenerate_trim_emits_no_row(spark):
+    """Round-4 ADVICE fix: when the [p, 1-p] quantile trim leaves < 2
+    values, the Arrow kernel returns nan — the SQL form must emit NO
+    row for that conversation (previously it diverged)."""
+    import numpy as np
+    import pandas as pd
+
+    from ts_pymfe_spark.operators.arrow_kernels import _hist_ent_out_diff
+    from ts_pymfe_spark.operators.info_theory import hist_ent_out_diff
+
+    # 2 identical values + 2 extreme outliers: q05/q95 band excludes
+    # the outliers and the tie collapses the trimmed set
+    vals = [5.0, 5.0, -1e9, 1e9]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["degen"] * 4 + ["ok"] * 40,
+            "turn_idx": list(range(4)) + list(range(40)),
+            "value": vals + list(np.sin(np.arange(40.0)) * 7 + 3),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = {r["conv_id"]: r["hist_ent_out_diff"]
+           for r in hist_ent_out_diff(df).collect()}
+    assert "ok" in out
+    if "degen" in out:  # only acceptable if the kernel twin is finite too
+        assert np.isfinite(_hist_ent_out_diff(np.array(vals)))
+
+
+def test_gp_cache_key_includes_params():
+    """Round-4 ADVICE fix: a gp_fit_predict call with a non-default
+    alpha must not return the default-alpha memoized fit."""
+    import numpy as np
+
+    from ts_pymfe_spark.functions import kernels as K
+
+    rng = np.random.default_rng(7)
+    x = np.cumsum(rng.normal(size=64))
+    _, pred_a = K.gp_fit_predict(x)
+    _, pred_b = K.gp_fit_predict(x, alpha=1e-2)
+    _, pred_a2 = K.gp_fit_predict(x)
+    assert not np.allclose(pred_a, pred_b)  # different jitter -> different fit
+    assert np.array_equal(pred_a, pred_a2)  # default still memo-hit

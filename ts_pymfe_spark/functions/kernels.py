@@ -1533,7 +1533,14 @@ def moving_lilliefors(ts: np.ndarray, window_size: float = 0.1) -> np.ndarray:
 def peak_trough_frac(ts: np.ndarray, period: int, which: str = "peak") -> float:
     """ft_peak_frac / ft_trough_frac (general.py:855-992): mode of the
     argmax/argmin position within each full seasonal period, as a
-    fraction of the period."""
+    fraction of the period.
+
+    Round-4 decision: the reference's EXECUTED code returns
+    ``mode_index + 1`` (general.py:296, converting numpy's 0-based
+    argmax to the 1-based ``which.max`` convention of the cited R
+    tsfeatures package) while its docstring describes 0-based.  Golden
+    parity targets executed behavior, so we add 1 — mirrored in the
+    SQL form (operators/sequence.py) and the DuckDB oracle."""
     x = np.asarray(ts, dtype=float)
     p = int(period)
     if p < 2 or x.size < 2 * p:
@@ -1542,7 +1549,7 @@ def peak_trough_frac(ts: np.ndarray, period: int, which: str = "peak") -> float:
     chunks = x[: m * p].reshape(m, p)
     pos = np.argmax(chunks, axis=1) if which == "peak" else np.argmin(chunks, axis=1)
     counts = np.bincount(pos, minlength=p)
-    return float(np.argmax(counts)) / p
+    return float(np.argmax(counts) + 1) / p
 
 
 # ---------------------------------------------------------------------------
@@ -1695,9 +1702,12 @@ def _rbf_k(a: np.ndarray, b: np.ndarray, ls: float) -> np.ndarray:
 #: the same series within one feature pass — the fit is the single most
 #: expensive kernel component (40 golden-section NLL evaluations, each
 #: an O(n³) Cholesky), so refitting it per caller tripled its cost.
-#: Keyed by the tail-capped input bytes; tiny (≤8 series) because
+#: Keyed by (tail-capped input bytes, alpha, max_n) — the non-default
+#: parameters must be part of the key or a caller with a different
+#: alpha would silently get a stale fit (round-4 ADVICE fix; same
+#: pattern as _ETS_CACHE keying on period).  Tiny (≤8 entries) because
 #: callers for one series arrive consecutively in the Arrow kernel loop.
-_GP_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+_GP_CACHE: dict[tuple[bytes, float, int], tuple[np.ndarray, np.ndarray]] = {}
 
 
 def gp_fit_predict(ts: np.ndarray, alpha: float = 1e-10,
@@ -1710,7 +1720,7 @@ def gp_fit_predict(ts: np.ndarray, alpha: float = 1e-10,
     x = np.asarray(ts, dtype=float)
     if x.size > max_n:
         x = x[-max_n:]
-    key = x.tobytes()
+    key = (x.tobytes(), float(alpha), int(max_n))
     hit = _GP_CACHE.get(key)
     if hit is not None:
         return hit

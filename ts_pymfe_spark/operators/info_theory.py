@@ -52,7 +52,11 @@ def ami_histogram(df: DataFrame, lag: int = 1, num_bins: int = 64,
     def bucket(col: str) -> F.Column:
         v, mn, mx = F.col(col), F.min(col).over(wc), F.max(col).over(wc)
         raw = F.floor((v - mn) / ((mx - mn) / num_bins))
-        return F.least(raw, F.lit(num_bins - 1)).cast("int")
+        # zero-range margin -> single bin (np.histogram2d semantics;
+        # ANSI divide-by-zero guard, round 4)
+        return F.when(mx > mn, F.least(raw, F.lit(num_bins - 1))).otherwise(
+            F.lit(0)
+        ).cast("int")
 
     bb = lagged.select(
         "conv_id", bucket(value).alias("_bx"), bucket("_y").alias("_by")
@@ -102,9 +106,17 @@ def hist_ent_out_diff(df: DataFrame, p: float = 0.05, num_bins: int = 10,
         df.join(qs, "conv_id")
         .filter((F.col(value) >= F.col("_lo")) & (F.col(value) <= F.col("_hi")))
     )
+    # degenerate-trim guard (round-4 ADVICE fix): the Arrow kernel twin
+    # returns nan when the trimmed set has < 2 values; the SQL form's
+    # nan contract is "no row", so drop those conversations here to
+    # keep the two paths aligned on tiny / heavily-tied series.
+    big_enough = (
+        inner.groupBy("conv_id").agg(F.count("*").alias("_nin"))
+        .filter(F.col("_nin") >= 2).select("conv_id")
+    )
     trimmed = hist_entropy(inner, num_bins, value).withColumnRenamed(
         "hist_entropy", "_h_inner"
-    )
+    ).join(big_enough, "conv_id")
     return full.join(trimmed, "conv_id").select(
         "conv_id",
         (F.col("_h_full") - F.col("_h_inner")).alias("hist_ent_out_diff"),

@@ -125,7 +125,13 @@ def discretize_col(value: str = "value", num_bins: int = 10,
     if strategy == "equal-width":
         v, mn, mx = F.col(value), F.min(value).over(W_CONV()), F.max(value).over(W_CONV())
         raw = F.floor((v - mn) / ((mx - mn) / num_bins))
-        return F.least(raw, F.lit(num_bins - 1)).cast("int")
+        # zero-range guard: all-equal values land in bin 0 (np.histogram
+        # expands a degenerate range to [v-0.5, v+0.5] -> single bin);
+        # without it ANSI mode raises DIVIDE_BY_ZERO (round-4 fix, found
+        # by the trimmed-entropy degenerate-set test)
+        return F.when(mx > mn, F.least(raw, F.lit(num_bins - 1))).otherwise(
+            F.lit(0)
+        ).cast("int")
     if strategy == "equiprobable":
         return F.ntile(num_bins).over(
             Window.partitionBy("conv_id").orderBy(value, "turn_idx")
@@ -257,9 +263,10 @@ def peak_trough_frac(df: DataFrame, period: int, which: str = "peak",
     numpy twin kernels.peak_trough_frac): split the series into full
     ``period``-length chunks, take the argmax (peak) / argmin (trough)
     POSITION inside each chunk — first index on ties, np.argmax
-    semantics — and return the mode of those positions as a fraction
-    of the period (smallest position on count ties, np.bincount-argmax
-    semantics).  Conversations shorter than two full periods are
+    semantics — and return the mode of those positions, PLUS ONE (the reference's
+    executed 1-based convention — general.py:296; see the numpy twin's
+    round-4 note), as a fraction of the period (smallest position on
+    count ties, np.bincount-argmax semantics).  Conversations shorter than two full periods are
     dropped (the kernel returns nan there).
 
     One row per conv_id: (conv_id, frac)."""
@@ -290,5 +297,5 @@ def peak_trough_frac(df: DataFrame, period: int, which: str = "peak",
     return (
         counts.withColumn("_rk", F.row_number().over(wmode))
         .filter(F.col("_rk") == 1)
-        .select("conv_id", (F.col("_arg") / p).alias("frac"))
+        .select("conv_id", ((F.col("_arg") + 1) / p).alias("frac"))
     )

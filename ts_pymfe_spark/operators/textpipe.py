@@ -615,7 +615,8 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.3,
 def ivf_train_centroids(corpus: DataFrame, n_lists: int = 16,
                         sample_frac: float | None = None, seed: int = 42,
                         emb: str = "embedding",
-                        max_train_rows: int = 1_000_000) -> list[list[float]]:
+                        max_train_rows: int = 1_000_000,
+                        est_rows: int | None = None) -> list[list[float]]:
     """Train the IVF coarse quantizer (k-means via Spark MLlib's
     distributed kmeans||).  Returns the k×dim centroid matrix — model
     parameters, driver-sized by definition (k·dim floats), NOT data.
@@ -623,14 +624,22 @@ def ivf_train_centroids(corpus: DataFrame, n_lists: int = 16,
     Training-set contract: k-means needs only enough points to place
     ``n_lists`` centroids, so full-corpus training is never the
     default.  ``sample_frac=None`` (default) auto-sizes the sample to
-    ~``max_train_rows`` rows via a cheap count; pass an explicit
-    fraction to override, and an explicit ``sample_frac=1.0`` is the
-    only way to train on the full corpus."""
+    ~``max_train_rows`` rows; pass an explicit fraction to override,
+    and an explicit ``sample_frac=1.0`` is the only way to train on
+    the full corpus.
+
+    Sizing cost (round-4 ADVICE note): when ``sample_frac`` is None the
+    auto-sizing needs a row count.  ``corpus.count()`` on a parquet /
+    Iceberg source is metadata-cheap, but on a computed relation it is
+    a full job — at the stated 100 TB scale callers should pass
+    ``est_rows`` (any upper bound works: the sample merely shrinks
+    toward ``max_train_rows``) or an explicit ``sample_frac`` instead
+    of relying on the count."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     if sample_frac is None:
-        n = corpus.count()
+        n = est_rows if est_rows is not None else corpus.count()
         sample_frac = min(1.0, max_train_rows / max(1, n))
     df = corpus if sample_frac >= 1.0 else corpus.sample(sample_frac, seed)
     feats = df.select(array_to_vector(_as_double(emb)).alias("features"))
