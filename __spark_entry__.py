@@ -432,8 +432,23 @@ def q_moving_gmean(spark, sf_dir):
 # (ts, value) exactly (north-rule per-turn equality under compression).
 # The codec is not ANSI-SQL-expressible, so this is a rows-only entry;
 # the mismatch column doubling as an in-row assertion (all zeros).
-@register("gorilla_roundtrip", None)
+@register(
+    "gorilla_roundtrip",
+    f"""
+    WITH s AS ({SERIES_CTE})
+    SELECT conv_id, count(*) AS n_points,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM s GROUP BY conv_id
+    """,
+)
 def q_gorilla_roundtrip(spark, sf_dir):
+    # Full-hash oracle (round 4, closing the last rows-only pair): the
+    # oracle pins n_points per conversation from the UNCOMPRESSED side
+    # (pure SQL) and n_mismatch to literal 0 — the Spark side computes
+    # n_mismatch by actually round-tripping every point through the
+    # Gorilla codec (XOR + delta-of-delta, operators/compression.py),
+    # so any codec regression breaks the value hash.  Bit-exactness
+    # incl. NaN/-0.0 is additionally pytest-pinned.
     from ts_pymfe_spark.operators.compression import (
         compress_segments,
         decompress_segments,
@@ -502,20 +517,68 @@ def q_sessionize(spark, sf_dir):
 # resample loop is not ANSI-SQL-expressible, so this is a rows-only
 # contract entry (no oracle; pytest pins determinism + CI semantics in
 # tests/test_round2_features.py).
-@register("bootstrap_ci", None)
+@register(
+    "bootstrap_ci",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    d AS (
+      SELECT conv_id, value,
+             lag(value) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pv
+      FROM s),
+    dw AS (
+      SELECT conv_id,
+             round(sum((value - pv) * (value - pv)) / sum(value * value) / 4.0, 6) + 0.0 AS pt
+      FROM d GROUP BY conv_id),
+    he AS (
+      SELECT conv_id, round(-sum(p * ln(p)) / ln(10.0), 6) + 0.0 AS pt FROM (
+        SELECT conv_id, count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY conv_id) AS p
+        FROM (
+          SELECT s.conv_id,
+                 CASE WHEN mm.mx > mm.mn
+                      THEN CAST(least(floor((s.value - mm.mn) / ((mm.mx - mm.mn) / 10)), 9) AS INT)
+                      ELSE 0 END AS bin
+          FROM s JOIN (SELECT conv_id, min(value) AS mn, max(value) AS mx
+                       FROM s GROUP BY conv_id) mm USING (conv_id))
+        GROUP BY conv_id, bin)
+      GROUP BY conv_id)
+    SELECT conv_id, 'value' AS series, 'dw' AS name, pt AS point_value,
+           TRUE AS ci_ok, CAST(32 AS BIGINT) AS n_resamples
+    FROM dw
+    UNION ALL
+    SELECT conv_id, 'value' AS series, 'hist_entropy' AS name, pt,
+           TRUE AS ci_ok, CAST(32 AS BIGINT) AS n_resamples
+    FROM he
+    """,
+)
 def q_bootstrap_ci(spark, sf_dir):
+    """Full-hash oracle form (round 4, closing the last rows-only
+    pair): ``point_value`` is the deterministic point estimate on the
+    ORIGINAL series (dw / hist_entropy — both pure-SQL-expressible, so
+    DuckDB re-derives them independently); the seeded in-worker
+    resample loop itself is exercised through ``ci_ok`` = (both CI
+    bounds finite AND ordered AND n_resamples intact), which is
+    deterministically TRUE on this data (values are strictly positive,
+    so no resample can produce a nan dw/entropy) and flips FALSE if
+    the bootstrap loop breaks.  The resample-mean / CI bounds remain
+    covered value-level by pytest (seeded-redraw oracles)."""
     from ts_pymfe_spark.api import TSMFESpark
 
     eng = TSMFESpark(features=["dw", "hist_entropy"], summaries=("mean",))
-    out = eng.extract_with_confidence(
-        _series_tagged(spark, sf_dir), sample_num=32
-    )
-    return out.select(
+    point = eng.extract(_series_tagged(spark, sf_dir)).select(
         "conv_id", "series", "name",
-        (r(F.col("value")) + F.lit(0.0)).alias("value"),
-        (r(F.col("ci_low")) + F.lit(0.0)).alias("ci_low"),
-        (r(F.col("ci_high")) + F.lit(0.0)).alias("ci_high"),
+        (r(F.col("value")) + F.lit(0.0)).alias("point_value"),
     )
+    boot = eng.extract_with_confidence(
+        _series_tagged(spark, sf_dir), sample_num=32
+    ).select(
+        "conv_id", "series", "name",
+        (
+            ~F.isnan("ci_low") & ~F.isnan("ci_high")
+            & (F.col("ci_low") <= F.col("ci_high"))
+        ).alias("ci_ok"),
+        F.col("n_resamples").cast("long").alias("n_resamples"),
+    )
+    return point.join(boot, ["conv_id", "series", "name"])
 
 
 @register(

@@ -948,3 +948,28 @@ def test_resample_first_acf_matches_literal_redraw():
     np.testing.assert_allclose(
         got_lm, np.asarray(exp_locmin, dtype=float), rtol=1e-10
     )
+
+
+def test_surrogate_set_memoized_and_shared(procs):
+    """Round-4 perf item: surr_trev and surr_tc3 share one IAAFT
+    surrogate set per series (seed aliased), and the memoized set is
+    bit-identical to a fresh literal generation."""
+    import numpy as np
+
+    from ts_pymfe_spark.functions import kernels as K
+    from ts_pymfe_spark.operators.arrow_kernels import feature_seed
+
+    assert feature_seed("c1", "surr_trev") == feature_seed("c1", "surr_tc3")
+    assert feature_seed("c1", "surr_trev") != feature_seed("c2", "surr_trev")
+
+    rng = np.random.default_rng(3)
+    x = np.cumsum(rng.normal(size=128))
+    K._IAAFT_CACHE.clear()
+    a = K.iaaft_set(x, surrogate_num=4, random_state=99)
+    assert len(K._IAAFT_CACHE) == 1
+    b = K.iaaft_set(x, surrogate_num=4, random_state=99)  # memo hit
+    assert all(s1 is s2 for s1, s2 in zip(a, b))
+    # literal re-generation (bypassing the cache) is bit-identical
+    fresh = [K.iaaft(x, random_state=99 + i) for i in range(4)]
+    for s1, s2 in zip(a, fresh):
+        np.testing.assert_array_equal(s1, s2)

@@ -225,3 +225,71 @@ def test_checkpointed_writer_single_upstream_execution(spark, turns, tmp_path):
     assert len(committed) > 1           # multi-partition write
     assert total_rows == tier.count()
     assert acc.value == total_rows      # upstream ran exactly once
+
+
+def test_streaming_full_cascade_matches_batch(spark, turns, tmp_path):
+    """Round-4 parity closure (VERDICT r3 next-round #5): the COMPOSED
+    raw -> 1m -> 1h -> 1d path with the emergent turn-rate branch,
+    replayed as multiple availableNow microbatches, must equal the
+    batch build_all_tiers exactly — including gap-fill chained after
+    the streamed 1m tier."""
+    from ts_pymfe_spark.operators.gapfill import gapfill
+    from ts_pymfe_spark.operators.rollup import build_all_tiers
+    from ts_pymfe_spark.streaming.rollup_stream import (
+        read_all_tiers,
+        run_stream_to_store,
+    )
+
+    in_dir = str(tmp_path / "casc_in")
+    store = str(tmp_path / "casc_store")
+    ckpt = str(tmp_path / "casc_ckpt")
+    # >=2 microbatches (maxFilesPerTrigger=8 in stream_turns), with
+    # conversations straddling the batch boundary
+    turns.repartition(16).write.mode("overwrite").parquet(in_dir)
+
+    run_stream_to_store(spark, in_dir, store, ckpt)
+    got_tiers = read_all_tiers(spark, store)
+    exp_tiers = build_all_tiers(
+        derive_series(spark.read.parquet(in_dir)), salted=False
+    )
+    for tier in ("1m", "1h", "1d"):
+        got = got_tiers[tier].orderBy(*KEY).toPandas()
+        exp = exp_tiers[tier].orderBy(*KEY).toPandas()
+        assert len(got) == len(exp), tier
+        np.testing.assert_array_equal(got["n"].to_numpy(), exp["n"].to_numpy())
+        np.testing.assert_allclose(
+            got["s1"].to_numpy(), exp["s1"].to_numpy(), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            got["s2"].to_numpy(), exp["s2"].to_numpy(), rtol=1e-12
+        )
+        np.testing.assert_array_equal(got["mn"].to_numpy(), exp["mn"].to_numpy())
+        np.testing.assert_array_equal(got["mx"].to_numpy(), exp["mx"].to_numpy())
+        np.testing.assert_array_equal(
+            got["first_v"].to_numpy(), exp["first_v"].to_numpy()
+        )
+        np.testing.assert_array_equal(
+            got["last_v"].to_numpy(), exp["last_v"].to_numpy()
+        )
+
+    # gap-fill chained after the STREAMED 1m tier == after the batch 1m
+    def _gf(t1m):
+        g = t1m.filter(F.col("series") == "text_len").select(
+            "conv_id", "series", "bucket_start",
+            (F.col("s1") / F.col("n")).alias("v"),
+        )
+        return gapfill(g, 60, value="v")
+
+    got_gf = _gf(got_tiers["1m"]).orderBy(
+        "conv_id", "series", "bucket_start"
+    ).toPandas()
+    exp_gf = _gf(exp_tiers["1m"]).orderBy(
+        "conv_id", "series", "bucket_start"
+    ).toPandas()
+    assert len(got_gf) == len(exp_gf)
+    np.testing.assert_allclose(
+        got_gf["value"].to_numpy(), exp_gf["value"].to_numpy(), rtol=1e-12
+    )
+    np.testing.assert_array_equal(
+        got_gf["is_gap"].to_numpy(), exp_gf["is_gap"].to_numpy()
+    )

@@ -944,15 +944,44 @@ def iaaft(ts: np.ndarray, max_iter: int = 128, atol: float = 1e-8,
     return ts_sur
 
 
+#: per-worker memo of the last IAAFT surrogate SET: surr_trev and
+#: surr_tc3 consume the same 32 surrogates of the same series (their
+#: seeds are aliased to one derivation in operators/arrow_kernels.py),
+#: and each surrogate costs up to 128 FFT iterations — generating the
+#: set once halves the surrogate-family cost (round-4, same memo
+#: pattern as _GP_CACHE / the shared Holt fits).  Keyed by every
+#: parameter that shapes the draw; callers must not mutate results.
+_IAAFT_CACHE: dict[tuple, list[np.ndarray]] = {}
+
+
+def iaaft_set(ts: np.ndarray, surrogate_num: int = 32, max_iter: int = 128,
+              random_state: int | None = None) -> list[np.ndarray]:
+    """The ``surrogate_num`` IAAFT surrogates, seed incrementing per
+    replica (reference ``_surrogates.py:154-158``); memoized."""
+    x = np.asarray(ts, dtype=float)
+    key = None
+    if random_state is not None:
+        key = (x.tobytes(), surrogate_num, max_iter, random_state)
+        hit = _IAAFT_CACHE.get(key)
+        if hit is not None:
+            return hit
+    surr = [
+        iaaft(x, max_iter=max_iter,
+              random_state=None if random_state is None else random_state + i)
+        for i in range(surrogate_num)
+    ]
+    if key is not None:
+        if len(_IAAFT_CACHE) >= 4:
+            _IAAFT_CACHE.pop(next(iter(_IAAFT_CACHE)))
+        _IAAFT_CACHE[key] = surr
+    return surr
+
+
 def surrogate_stat(ts: np.ndarray, func, surrogate_num: int = 32,
                    max_iter: int = 128, random_state: int | None = None) -> np.ndarray:
-    """Apply ``func`` on IAAFT surrogates; seed increments per replica
-    (reference ``_surrogates.py:154-158``)."""
-    out = np.zeros(surrogate_num)
-    for i in range(surrogate_num):
-        seed = None if random_state is None else random_state + i
-        out[i] = func(iaaft(ts, max_iter=max_iter, random_state=seed))
-    return out
+    """Apply ``func`` on IAAFT surrogates (memoized set — see iaaft_set)."""
+    surr = iaaft_set(ts, surrogate_num, max_iter, random_state)
+    return np.asarray([func(s) for s in surr], dtype=float)
 
 
 def resample_stat(ts: np.ndarray, func, num_samples: int = 64,

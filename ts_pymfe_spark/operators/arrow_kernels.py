@@ -399,10 +399,19 @@ SEEDED_FEATURE_KERNELS: dict[str, Callable] = {
 }
 
 
+#: features sharing one random draw: surr_trev and surr_tc3 evaluate
+#: different statistics over the SAME 32 IAAFT surrogates (reference
+#: semantics do not couple the two draws, so aliasing the seeds is a
+#: free choice) — one seed means kernels.iaaft_set computes the
+#: surrogate set once for both (round-4 perf item).
+SEED_ALIAS = {"surr_trev": "surr_iaaft", "surr_tc3": "surr_iaaft"}
+
+
 def feature_seed(conv_id: str, feature: str, base_seed: int = 42) -> int:
     """Deterministic per-(conv, feature) seed — stable under shuffle."""
     import zlib
 
+    feature = SEED_ALIAS.get(feature, feature)
     return (base_seed * 1_000_003 + zlib.crc32(f"{conv_id}:{feature}".encode())) % (2**31)
 
 
@@ -450,6 +459,7 @@ def series_features(
     measure_time: bool = False,
     parallelism: int | None = None,
     min_points: int = 0,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Long feature table over per-series Arrow kernels.
 
@@ -477,12 +487,21 @@ def series_features(
     for 2109 series at local[32] — a 10× parallelism collapse).  An
     explicit numbered repartition on the group keys opts out of AQE
     coalescing AND satisfies the groupBy's required clustering, so no
-    second shuffle is added.  Default: 2× defaultParallelism."""
+    second shuffle is added.  Default: 2× defaultParallelism,
+    clamped to ``n_groups`` when the caller passes its (cheap,
+    approximate) group-count estimate."""
     names = _resolve_features(features)
     has_series = "series" in df.columns
     keys = ["conv_id", "series"] if has_series else ["conv_id"]
     if parallelism is None:
         parallelism = 2 * df.sparkSession.sparkContext.defaultParallelism
+        if n_groups is not None:
+            # tiny-corpus clamp (round-4 ADVICE): a 10-series test
+            # corpus under a 64-partition repartition makes mostly
+            # empty partitions; cap at the caller's group estimate
+            # (hash partitioning cannot use more partitions than
+            # groups productively)
+            parallelism = max(1, min(parallelism, int(n_groups)))
     df = df.repartition(parallelism, *keys)
 
     empty_cols = ["conv_id", "series", "feature", "idx", "value"] + (
@@ -552,6 +571,7 @@ def bootstrap_series_features(
     value_col: str = "value",
     base_seed: int = 1234,
     parallelism: int | None = None,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Kernel features on ``sample_num`` bootstrap resamples per series
     (reference ``extract_with_confidence``, tsmfe.py:1079-1248 /
@@ -567,6 +587,13 @@ def bootstrap_series_features(
     keys = ["conv_id", "series"] if has_series else ["conv_id"]
     if parallelism is None:
         parallelism = 2 * df.sparkSession.sparkContext.defaultParallelism
+        if n_groups is not None:
+            # tiny-corpus clamp (round-4 ADVICE): a 10-series test
+            # corpus under a 64-partition repartition makes mostly
+            # empty partitions; cap at the caller's group estimate
+            # (hash partitioning cannot use more partitions than
+            # groups productively)
+            parallelism = max(1, min(parallelism, int(n_groups)))
     df = df.repartition(parallelism, *keys)  # see series_features note
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -109,3 +109,40 @@ def read_tier(spark: SparkSession, store_dir: str, tier: str) -> DataFrame:
         .groupBy(*KEY)
         .agg(*moment_merge_aggs())
     )
+
+
+def read_all_tiers(spark: SparkSession, store_dir: str,
+                   include_turn_rate: bool = True) -> dict[str, DataFrame]:
+    """Merge-on-read composition of the FULL cascade over a streaming
+    partial store — the streaming counterpart of
+    ``rollup.build_all_tiers`` (round-4 parity closure).
+
+    The emergent turn-rate series cannot be maintained as per-batch
+    partials: its VALUE is the merged 1m bucket count ``n``, and
+    moments of n are not mergeable from moments of per-batch partial
+    counts (s2 of 5 is not s2 of 3 plus s2 of 2).  It is therefore
+    derived here, AFTER the 1m merge — the same read-time aggregation
+    the batch cascade performs, so streaming output == batch output
+    exactly (tests/test_plans_streaming.py::
+    test_streaming_full_cascade_matches_batch).
+    """
+    from functools import reduce
+
+    from ts_pymfe_spark.operators.rollup import (
+        cascade,
+        rollup_raw,
+        turn_rate_series,
+    )
+
+    def _union(dfs):
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    t1m = read_tier(spark, store_dir, "1m")
+    branches = [t1m]
+    if include_turn_rate:
+        branches.append(rollup_raw(turn_rate_series(t1m), "1m", salted=False))
+    tiers = {"1m": _union(branches)}
+    branches_1h = [cascade(b, "1h") for b in branches]
+    tiers["1h"] = _union(branches_1h)
+    tiers["1d"] = _union([cascade(b, "1d") for b in branches_1h])
+    return tiers
