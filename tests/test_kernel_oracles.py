@@ -973,3 +973,58 @@ def test_surrogate_set_memoized_and_shared(procs):
     fresh = [K.iaaft(x, random_state=99 + i) for i in range(4)]
     for s1, s2 in zip(a, fresh):
         np.testing.assert_array_equal(s1, s2)
+
+
+def test_max_lyap_incremental_distance_matches_literal(procs):
+    """Round-4 perf rewrite: per-dimension distance accumulation must
+    be bit-identical to the literal (m, m, dim) broadcast-tensor form
+    of the Rosenstein distance matrix."""
+    import numpy as np
+
+    from ts_pymfe_spark.functions import kernels as K
+
+    def literal(ts, emb_dim=10, lag=1, min_tsep=None, trajectory_len=20,
+                max_n=512):
+        x = np.asarray(ts, dtype=float)
+        if x.size > max_n:
+            x = x[-max_n:]
+        sd = x.std(ddof=0)
+        if sd == 0:
+            return np.nan
+        x = (x - x.mean()) / sd
+        emb = K._embed(x, emb_dim, lag)
+        m = emb.shape[0]
+        if min_tsep is None:
+            min_tsep = max(1, m // 10)
+        if m < min_tsep + trajectory_len + 2:
+            return np.nan
+        d = np.sqrt(((emb[:, None, :] - emb[None, :, :]) ** 2).sum(axis=2))
+        idx = np.arange(m)
+        d[np.abs(idx[:, None] - idx[None, :]) <= min_tsep] = np.inf
+        nn = np.argmin(d, axis=1)
+        usable = m - trajectory_len
+        logs = []
+        for k in range(trajectory_len):
+            i = np.arange(usable)
+            j = nn[:usable]
+            valid = j + k < m
+            di = np.sqrt(
+                ((emb[i[valid] + k] - emb[j[valid] + k]) ** 2).sum(axis=1)
+            )
+            di = di[di > 0]
+            logs.append(float(np.mean(np.log(di))) if di.size else np.nan)
+        logs = np.asarray(logs)
+        ok = np.isfinite(logs)
+        if ok.sum() < 3:
+            return np.nan
+        return float(np.polyfit(np.arange(trajectory_len)[ok], logs[ok], 1)[0])
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        x = (
+            np.cumsum(rng.normal(size=400))
+            if trial % 2
+            else np.sin(np.arange(400) * 0.07) + rng.normal(size=400) * 0.2
+        )
+        a, b = literal(x), K.max_lyap(x)
+        assert (np.isnan(a) and np.isnan(b)) or a == b
