@@ -11,7 +11,7 @@ round 3's bench printed only at process exit and a driver timeout
 yielded zero data (VERDICT round 3, "What's wrong" #1).
 
 Budget (round 4): total wall is capped by $SPARK_GRAFT_BENCH_BUDGET
-(default 600 s).  The scaling section degrades under pressure — it
+(default 780 s).  The scaling section degrades under pressure — it
 runs at least one interleaved 2->8 rep pair, adds reps only while the
 budget allows, and the SF=4 8->32 pair is opt-in
 ($SPARK_GRAFT_FULL_SCALING=1).  The dominant cost cut vs round 3: the
@@ -45,7 +45,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # hard timeout (round 3 hit it at ~25+ min of work); everything here
 # is deadline-aware and the JSON is re-emitted incrementally so even
 # an overrun cannot produce an empty artifact.
-BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
+BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
 # Committed scaling pair: 2->8 at SF=2 (BENCH/BASELINE.md:39-83 for
 # the measured Amdahl fixed-cost analysis: the cascade carries ~4.5 s
 # of driver fixed cost; SF=2 halves its weight vs SF=1, where it caps
@@ -117,6 +117,14 @@ def run_headline(spark) -> dict[str, float]:
         "ann_topk", "ann_lsh",
     ]
     qs = E.queries()
+    # Untimed warm-up: the first query otherwise absorbs session JIT +
+    # cold parquet IO (measured: rollup_1m read 7-8.6 s as the opener
+    # vs 1.8 s for the strictly-harder 1h cascade right after it).
+    # Same plans on the tiny sf0.001 tables compile the same codegen
+    # classes; the raw byte read warms the page cache for SF_DIR.
+    prewarm_page_cache(SF_DIR)
+    for name in ("rollup_1m", "acf_lags", "token_stats"):
+        qs[name](spark, "/root/testdata/sf0.001").count()
     times: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
