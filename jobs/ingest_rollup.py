@@ -42,6 +42,13 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--compress", action="store_true",
                     help="also write Gorilla segments for the raw series")
+    ap.add_argument("--retain", default=None,
+                    help="per-tier retention, e.g. '1m=30,1h=365,1d=3650' "
+                         "(days); expired day-partitions are tombstoned in "
+                         "the manifest then deleted (plans/manifest.py)")
+    ap.add_argument("--retain-now", default=None,
+                    help="YYYY-MM-DD reference date for --retain "
+                         "(default: today)")
     ap.add_argument("--features", action="store_true",
                     help="also extract meta-features per conversation")
     args = ap.parse_args()
@@ -73,6 +80,21 @@ def main() -> None:
         )
         all_metrics[tier] = w.run(tiers[tier], "bucket_start", "day")
     tiers.unpersist_all()
+
+    if args.retain:
+        import datetime as _dt
+
+        from ts_pymfe_spark.plans.manifest import apply_retention
+
+        policy = dict(
+            (k, int(v))
+            for k, v in (kv.split("=") for kv in args.retain.split(","))
+        )
+        now = args.retain_now or _dt.date.today().isoformat()
+        expired = apply_retention(spark, args.output, policy, now)
+        all_metrics["_retention"] = [
+            {"tier": t, "expired": len(ps)} for t, ps in expired.items()
+        ]
 
     if args.compress:
         from ts_pymfe_spark.operators.compression import compress_segments

@@ -293,3 +293,43 @@ def test_streaming_full_cascade_matches_batch(spark, turns, tmp_path):
     np.testing.assert_array_equal(
         got_gf["is_gap"].to_numpy(), exp_gf["is_gap"].to_numpy()
     )
+
+
+def test_retention_expires_partitions_crash_safe(spark, turns, tmp_path):
+    """Round-4 retention half of the north rule's 'rollup + downsample
+    + retention engine': day-partitions older than the per-tier cutoff
+    are tombstoned in the manifest FIRST, then deleted — resume never
+    recomputes expired days, read() excludes them, and a crash that
+    leaves a tombstoned-but-present orphan is swept on the next pass."""
+    import os
+
+    root = str(tmp_path / "ret_store")
+    tier = rollup_raw(derive_series(turns), "1h")
+    w = CheckpointedWriter(spark, root, run_id="w1")
+    committed = w.run(tier, "bucket_start", "day")
+    parts = sorted(e["partition"] for e in committed)
+    assert len(parts) >= 3
+    cutoff = parts[2]  # expire the first 2 days
+
+    expired = w.apply_retention(cutoff)
+    assert expired == parts[:2]
+    for p in parts[:2]:
+        assert not os.path.exists(f"{root}/part={p}")
+
+    # read() excludes expired days
+    kept = w.read().select("bucket_start").distinct().toPandas()
+    assert kept["bucket_start"].dt.strftime("%Y-%m-%d").min() >= cutoff
+
+    # resume does NOT recompute expired partitions
+    w2 = CheckpointedWriter(spark, root, run_id="w2")
+    assert w2.run(tier, "bucket_start", "day") == []
+
+    # crash simulation: tombstone present but data dir resurrected
+    victim = parts[1]
+    os.makedirs(f"{root}/part={victim}", exist_ok=True)
+    w3 = CheckpointedWriter(spark, root, run_id="w3")
+    assert w3.apply_retention(cutoff) == []  # nothing newly live to expire
+    assert not os.path.exists(f"{root}/part={victim}")  # orphan swept
+
+    # idempotent + dry_run
+    assert w3.apply_retention(cutoff, dry_run=True) == []

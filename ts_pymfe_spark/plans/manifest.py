@@ -83,9 +83,69 @@ class CheckpointedWriter:
             f.write(json.dumps(entry) + "\n")
         os.rename(tmp, fname)  # atomic commit point
 
+    def expired(self) -> set[str]:
+        """Partitions expired by retention (tombstoned in the manifest)."""
+        if not os.path.exists(self.manifest_dir):
+            return set()
+        df = self.spark.read.json(self.manifest_dir)
+        if "expired" not in df.columns:
+            return set()
+        rows = (
+            df.filter(F.col("expired") == True)  # noqa: E712
+            .select("partition").distinct().collect()
+        )
+        return {r["partition"] for r in rows}
+
+    def live(self) -> set[str]:
+        """Committed AND not retention-expired."""
+        return self.completed() - self.expired()
+
     def metrics(self) -> DataFrame:
         """Lineage/metrics table for observability dashboards."""
         return self.spark.read.json(self.manifest_dir)
+
+    # -- retention --------------------------------------------------------
+    def apply_retention(self, older_than: str,
+                        dry_run: bool = False) -> list[str]:
+        """Expire day-partitions strictly older than ``older_than``
+        (YYYY-MM-DD) — the retention half of the north rule's
+        "rollup + downsample + retention engine" (tiers keep
+        progressively longer windows: raw days, 1m weeks, 1h/1d years).
+
+        Crash-safe ordering: a tombstone manifest entry
+        (``expired: true``) commits FIRST, then the data directory is
+        deleted.  A crash between the two leaves an expired-but-present
+        partition: ``read()``/``live()`` already exclude it, and
+        ``run()`` will not recompute it (``completed()`` counts any
+        manifest entry, tombstones included) — the orphan directory is
+        swept by the next ``apply_retention`` call.  The reverse order
+        would open a window where a deleted partition looks pending and
+        a resume silently recomputes data that retention just deleted.
+
+        Returns the expired partition names."""
+        import shutil
+
+        victims = sorted(p for p in self.live() if p < older_than)
+        # also re-sweep orphans from a previous crash (tombstoned but
+        # directory still present)
+        orphans = sorted(
+            p for p in self.expired()
+            if os.path.exists(f"{self.root}/part={p}")
+        )
+        if dry_run:
+            return victims
+        for p in victims:
+            self._append_manifest(
+                {
+                    "run_id": self.run_id,
+                    "partition": p,
+                    "expired": True,
+                    "committed_seq": -1,
+                }
+            )
+        for p in victims + orphans:
+            shutil.rmtree(f"{self.root}/part={p}", ignore_errors=True)
+        return victims
 
     # -- write ------------------------------------------------------------
     def run(self, df: DataFrame, partition_col: str = "bucket_start",
@@ -171,12 +231,36 @@ class CheckpointedWriter:
             import shutil
 
             shutil.rmtree(staging, ignore_errors=True)
+            try:  # drop the now-empty _staging parent
+                os.rmdir(os.path.dirname(staging))
+            except OSError:
+                pass
         return committed
 
     def read(self) -> DataFrame:
-        """Read back only committed partitions."""
-        done = sorted(self.completed())
+        """Read back only committed, retention-live partitions."""
+        done = sorted(self.live())
         paths = [f"{self.root}/part={p}" for p in done]
         if not paths:
             raise FileNotFoundError(f"no committed partitions under {self.root}")
         return self.spark.read.parquet(*paths)
+
+
+def apply_retention(spark: SparkSession, store_root: str,
+                    policy: dict[str, int], now: str) -> dict[str, list[str]]:
+    """Apply a per-tier retention policy over a tier store written by
+    jobs/ingest_rollup.py (``{store_root}/tier={t}`` layout).
+
+    ``policy``: {tier: keep_days} — e.g. {"1m": 30, "1h": 365,
+    "1d": 3650}: finer tiers keep shorter windows (the TimescaleDB-style
+    retention ladder).  ``now``: YYYY-MM-DD; cutoff per tier is
+    ``now - keep_days``.  Returns {tier: [expired partitions]}."""
+    import datetime as _dt
+
+    today = _dt.date.fromisoformat(now)
+    out: dict[str, list[str]] = {}
+    for tier, keep_days in policy.items():
+        cutoff = (today - _dt.timedelta(days=int(keep_days))).isoformat()
+        w = CheckpointedWriter(spark, f"{store_root}/tier={tier}")
+        out[tier] = w.apply_retention(cutoff)
+    return out
