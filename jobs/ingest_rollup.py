@@ -49,6 +49,11 @@ def main() -> None:
     ap.add_argument("--retain-now", default=None,
                     help="YYYY-MM-DD reference date for --retain "
                          "(default: today)")
+    ap.add_argument("--salted", action="store_true",
+                    help="use the two-phase salted aggregation instead of "
+                         "the conv_id single-shuffle plan — for inputs with "
+                         "genuinely hot single (conv, bucket) keys "
+                         "(operators/rollup.py density contract)")
     ap.add_argument("--features", action="store_true",
                     help="also extract meta-features per conversation")
     args = ap.parse_args()
@@ -70,9 +75,15 @@ def main() -> None:
     # conv_id repartition of slim pre-stack rows serves every tier's
     # group key; salting is reserved for genuinely hot single keys
     # (--salted), which 1-minute buckets of per-turn data do not have.
-    par = spark.sparkContext.defaultParallelism * 4
-    series = derive_series(turns, partition_by=("conv_id",), partitions=par)
-    tiers = build_all_tiers(series, salted=False, persist=True)
+    if args.salted:
+        series = derive_series(turns)
+        tiers = build_all_tiers(series, salted=True, persist=True)
+    else:
+        par = spark.sparkContext.defaultParallelism * 4
+        series = derive_series(
+            turns, partition_by=("conv_id",), partitions=par
+        )
+        tiers = build_all_tiers(series, salted=False, persist=True)
     all_metrics: dict[str, list] = {}
     for tier in TIER_ORDER:
         w = CheckpointedWriter(
