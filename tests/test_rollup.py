@@ -143,3 +143,41 @@ def test_build_all_tiers_shapes(spark, turns):
     assert counts["1h"] >= counts["1d"] > 0
     # turn_rate present at every tier
     assert tiers["1d"].filter("series = 'turn_rate'").count() > 0
+
+
+def test_cascade_job_leaves_no_cached_relations(spark, turns, tmp_path):
+    """Round-4 leak regression guard: build_all_tiers(persist=True)
+    followed by unpersist_all() must leave the session CacheManager
+    EMPTY.  A leaked entry silently substitutes into every later
+    canonically-equal plan (Catalyst cache substitution) — it held
+    storage memory indefinitely and made rounds 2-3's benchmark reps
+    read cache instead of scanning raw."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "leak_turns")
+    turns.write.mode("overwrite").parquet(in_dir)
+    series = derive_series(spark.read.parquet(in_dir))
+    tiers = build_all_tiers(series, salted=False, persist=True)
+    checks = [
+        df.agg(F.sum("s1").alias("s1"), F.count("*").alias("n"))
+        .select(F.lit(t).alias("tier"), "s1", "n")
+        for t, df in tiers.items()
+    ]
+    reduce(lambda a, b: a.unionByName(b), checks).collect()
+    tiers.unpersist_all()
+    # the actual failure mode: a leaked cache entry SUBSTITUTES into a
+    # later canonically-equal plan.  Rebuild the same cascade and
+    # assert no InMemoryRelation appears anywhere in its plans.
+    # (A global cacheManager.isEmpty() check is unusable here: the
+    # shared test session carries unrelated cached relations.)
+    rebuilt = build_all_tiers(
+        derive_series(spark.read.parquet(in_dir)), salted=False
+    )
+    for tier, df in rebuilt.items():
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryRelation" not in p and "InMemoryTableScan" not in p, (
+            f"tier {tier} plan reads a leaked cache — the round-4 leak "
+            f"is back:\n{p}"
+        )
