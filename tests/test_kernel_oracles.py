@@ -976,9 +976,14 @@ def test_surrogate_set_memoized_and_shared(procs):
 
 
 def test_max_lyap_incremental_distance_matches_literal(procs):
-    """Round-4 perf rewrite: per-dimension distance accumulation must
-    be bit-identical to the literal (m, m, dim) broadcast-tensor form
-    of the Rosenstein distance matrix."""
+    """Round-4 perf rewrite, rationale corrected round 5 (ADVICE): the
+    per-dimension accumulation is NOT bit-identical to the literal
+    (m, m, dim) broadcast sum(axis=2) — numpy pairwise summation trees
+    even 8-128-long axes, so ~1-ulp differences exist.  Equivalence
+    holds because the argmin neighbor choice is robust to ulp noise on
+    non-tied data and everything downstream of argmin reads ``emb``
+    directly.  Assert exactly that: allclose distance matrices + EQUAL
+    argmin neighbors + equal end values."""
     import numpy as np
 
     from ts_pymfe_spark.functions import kernels as K
@@ -1025,6 +1030,28 @@ def test_max_lyap_incremental_distance_matches_literal(procs):
             np.cumsum(rng.normal(size=400))
             if trial % 2
             else np.sin(np.arange(400) * 0.07) + rng.normal(size=400) * 0.2
+        )
+        # the actual invariant: distances allclose (NOT bit-equal) and
+        # the banded argmin neighbor choice identical
+        z = np.asarray(x, dtype=float)[-512:]
+        z = (z - z.mean()) / z.std(ddof=0)
+        emb = K._embed(z, 10, 1)
+        m = emb.shape[0]
+        d_lit = np.sqrt(((emb[:, None, :] - emb[None, :, :]) ** 2).sum(axis=2))
+        d2 = np.zeros((m, m))
+        for kk in range(emb.shape[1]):
+            c = emb[:, kk]
+            d2 += (c[:, None] - c[None, :]) ** 2
+        d_inc = np.sqrt(d2)
+        np.testing.assert_allclose(d_inc, d_lit, rtol=1e-12, atol=0.0)
+        band = (
+            np.abs(np.arange(m)[:, None] - np.arange(m)[None, :])
+            <= max(1, m // 10)
+        )
+        d_lit[band] = np.inf
+        d_inc[band] = np.inf
+        np.testing.assert_array_equal(
+            np.argmin(d_lit, axis=1), np.argmin(d_inc, axis=1)
         )
         a, b = literal(x), K.max_lyap(x)
         assert (np.isnan(a) and np.isnan(b)) or a == b

@@ -295,6 +295,26 @@ def test_streaming_full_cascade_matches_batch(spark, turns, tmp_path):
     )
 
 
+def test_stale_staging_swept_on_next_run(spark, turns, tmp_path):
+    """Round-5 ADVICE: a crash between the staging write and the
+    renames leaves a full pending-day dataset under _staging/{random
+    run_id}; the next run must sweep ALL stale staging dirs, not just
+    its own run_id's."""
+    import os
+
+    root = str(tmp_path / "stage_store")
+    tier = rollup_raw(derive_series(turns), "1h")
+    stale = f"{root}/_staging/deadbeef0000"
+    os.makedirs(stale)
+    with open(f"{stale}/part-00000.parquet", "wb") as f:
+        f.write(b"x" * 128)
+    w = CheckpointedWriter(spark, root, run_id="fresh")
+    committed = w.run(tier, "bucket_start", "day")
+    assert committed
+    assert not os.path.exists(stale)
+    assert not os.path.exists(f"{root}/_staging")
+
+
 def test_retention_expires_partitions_crash_safe(spark, turns, tmp_path):
     """Round-4 retention half of the north rule's 'rollup + downsample
     + retention engine': day-partitions older than the per-tier cutoff
@@ -315,6 +335,16 @@ def test_retention_expires_partitions_crash_safe(spark, turns, tmp_path):
     assert expired == parts[:2]
     for p in parts[:2]:
         assert not os.path.exists(f"{root}/part={p}")
+
+    # lineage preserved (round-5 ADVICE): the SAME run_id expiring a
+    # partition it committed must APPEND a tombstone, not overwrite the
+    # commit record — rows/bytes history survives expiry
+    m = w.metrics().toPandas()
+    for p in parts[:2]:
+        mine = m[m["partition"] == p]
+        assert len(mine) >= 2
+        assert mine["expired"].eq(True).any()
+        assert (mine["rows"].fillna(0) > 0).any()
 
     # read() excludes expired days
     kept = w.read().select("bucket_start").distinct().toPandas()

@@ -968,7 +968,11 @@ def iaaft_set(ts: np.ndarray, surrogate_num: int = 32, max_iter: int = 128,
     x = np.asarray(ts, dtype=float)
     key = None
     if random_state is not None:
-        key = (x.tobytes(), surrogate_num, max_iter, random_state)
+        # atol/rtol shape the convergence cut and therefore the draw —
+        # they belong in the key (round-5 ADVICE; same class of bug as
+        # the round-4 _GP_CACHE alpha/max_n fix)
+        key = (x.tobytes(), surrogate_num, max_iter, random_state,
+               float(atol), float(rtol))
         hit = _IAAFT_CACHE.get(key)
         if hit is not None:
             return hit
@@ -1676,11 +1680,14 @@ def max_lyap(ts: np.ndarray, emb_dim: int = 10, lag: int = 1,
         return np.nan
     # per-dimension accumulation (round 4, same trick as the r3 cao
     # rewrite): the (m, m, emb_dim) broadcast temporary is ~200 MB at
-    # m~500/dim=10 and thrashes the cache; accumulating one (m, m)
-    # slice per dimension sums in the SAME order as sum(axis=2) for
-    # dim<128 (numpy pairwise summation stays sequential below its
-    # block size), so the distances — and the argmin neighbor choice —
-    # are bit-identical (asserted in tests).
+    # m~500/dim=10 and thrashes the cache.  The accumulation ORDER
+    # differs from sum(axis=2) (numpy's pairwise summation trees even
+    # 8-128-long axes), so individual distances agree only to ~1 ulp,
+    # NOT bit-identically; the end value is equivalent because the
+    # argmin neighbor choice is insensitive to ulp noise on non-tied
+    # data, and everything after argmin reads ``emb`` directly.
+    # Tests assert allclose on the distance matrices plus argmin
+    # equality (round-5 ADVICE correction of the r4 bit-identity claim).
     d2 = np.zeros((m, m))
     for _k in range(emb.shape[1]):
         c = emb[:, _k]

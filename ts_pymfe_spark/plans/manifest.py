@@ -75,9 +75,17 @@ class CheckpointedWriter:
         )
         return {r["partition"] for r in rows}
 
-    def _append_manifest(self, entry: dict) -> None:
+    def _append_manifest(self, entry: dict, suffix: str = "") -> None:
+        """Atomically add one manifest entry.  ``suffix`` distinguishes
+        entry kinds for the same (partition, run_id) — without it a
+        tombstone written by the same run that committed the partition
+        would OVERWRITE the commit record and destroy the
+        rows/bytes/wall_ms lineage (round-5 ADVICE)."""
         os.makedirs(self.manifest_dir, exist_ok=True)
-        fname = f"{self.manifest_dir}/{entry['partition']}-{self.run_id}.json"
+        fname = (
+            f"{self.manifest_dir}/{entry['partition']}-{self.run_id}"
+            f"{suffix}.json"
+        )
         tmp = fname + ".tmp"
         with open(tmp, "w") as f:
             f.write(json.dumps(entry) + "\n")
@@ -141,7 +149,8 @@ class CheckpointedWriter:
                     "partition": p,
                     "expired": True,
                     "committed_seq": -1,
-                }
+                },
+                suffix="-tombstone",
             )
         for p in victims + orphans:
             shutil.rmtree(f"{self.root}/part={p}", ignore_errors=True)
@@ -189,7 +198,21 @@ class CheckpointedWriter:
         pend = df.withColumn("_part", part)
         if done:
             pend = pend.filter(~F.col("_part").isin(sorted(done)))
-        staging = f"{self.root}/_staging/{self.run_id}"
+        # GC stale staging from ANY prior run, not just this run_id: a
+        # crash between the staging write and the renames would
+        # otherwise orphan a full pending-day dataset forever under a
+        # random run_id (round-5 ADVICE).  Single-writer-per-root is
+        # the manifest's existing contract, so every pre-existing
+        # staging dir here is dead by construction.
+        staging_parent = f"{self.root}/_staging"
+        if os.path.exists(staging_parent):
+            import shutil
+
+            for d in os.listdir(staging_parent):
+                shutil.rmtree(
+                    os.path.join(staging_parent, d), ignore_errors=True
+                )
+        staging = f"{staging_parent}/{self.run_id}"
         t0 = time.perf_counter()
         (
             pend.repartition(
