@@ -10,13 +10,16 @@ Run form (north rule):
         [--sf 0.01 --synth]   # synthesize input instead of reading
         [--cpus 32] [--compress] [--features]
 
-``--driver-memory`` MUST be given on the spark-submit command line:
-session-level ``spark.driver.memory`` conf is ignored once the JVM is
-already launched (spark-submit mode), so without the flag the job runs
-on the 1 g default — in local[] mode that heap also hosts every
-executor thread and the persisted 1m tier cache, and a resume run OOMs
-exactly there (found in the round-3 kill/resume rehearsal).  On a real
-cluster the equivalent is executor/driver memory in the submit conf.
+Memory note: session-level ``spark.driver.memory`` conf is ignored
+once the JVM is already launched (spark-submit mode), so sizing must
+go on the command line.  Round 5 removed the job's persisted 1m tier
+cache (the documented cause of a round-3 resume OOM at the 1 g
+default): tiers are now STORAGE-BACKED — the 1m tier is committed
+first and 1h/1d cascade merge-on-read from the committed store
+(plans/ingest.py), so nothing is pinned in executor memory and the
+small-SF kill/resume rehearsal passes at default driver memory.  At
+production scale you still size executors for the shuffle, not for
+any cache.
 
 Resumable: re-running after a crash skips partitions already committed
 to each tier's ``_manifest`` (plans/manifest.py).  Metrics (rows, bytes,
@@ -59,8 +62,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from ts_pymfe_spark.operators.derive import derive_series
-    from ts_pymfe_spark.operators.rollup import TIER_ORDER, build_all_tiers
-    from ts_pymfe_spark.plans.manifest import CheckpointedWriter
+    from ts_pymfe_spark.plans.ingest import ingest_tiers
     from ts_pymfe_spark.session import get_spark
     from ts_pymfe_spark.sources.testdata import read_turns
     from ts_pymfe_spark.synth import gen_turns
@@ -71,26 +73,22 @@ def main() -> None:
     else:
         turns = read_turns(spark, args.input)
 
-    # Single-shuffle cascade (operators/rollup.py round-4 note): one
-    # conv_id repartition of slim pre-stack rows serves every tier's
-    # group key; salting is reserved for genuinely hot single keys
-    # (--salted), which 1-minute buckets of per-turn data do not have.
+    # Single-shuffle 1m aggregation (operators/rollup.py round-4 note):
+    # one conv_id repartition of slim pre-stack rows; salting is
+    # reserved for genuinely hot single keys (--salted), which
+    # 1-minute buckets of per-turn data do not have.  The cascade
+    # above 1m is storage-backed (plans/ingest.py): 1h/1d read the
+    # committed finer tier, never raw, and nothing is persisted.
     if args.salted:
         series = derive_series(turns)
-        tiers = build_all_tiers(series, salted=True, persist=True)
     else:
         par = spark.sparkContext.defaultParallelism * 4
         series = derive_series(
             turns, partition_by=("conv_id",), partitions=par
         )
-        tiers = build_all_tiers(series, salted=False, persist=True)
-    all_metrics: dict[str, list] = {}
-    for tier in TIER_ORDER:
-        w = CheckpointedWriter(
-            spark, f"{args.output}/tier={tier}", run_id=args.run_id
-        )
-        all_metrics[tier] = w.run(tiers[tier], "bucket_start", "day")
-    tiers.unpersist_all()
+    all_metrics: dict[str, list] = ingest_tiers(
+        spark, series, args.output, run_id=args.run_id, salted=args.salted
+    )
 
     if args.retain:
         import datetime as _dt
@@ -107,23 +105,26 @@ def main() -> None:
             {"tier": t, "expired": len(ps)} for t, ps in expired.items()
         ]
 
+    # Side-output metrics come from parquet FOOTERS (round 5, VERDICT
+    # r4 #4): a post-write spark.read.count() was a full re-read of
+    # just-written data at scale; pyarrow footer metadata is free.
+    from ts_pymfe_spark.plans.manifest import _footer_stats
+
     if args.compress:
         from ts_pymfe_spark.operators.compression import compress_segments
 
         segs = compress_segments(series.select("conv_id", "series", "ts", "value"), "1d")
         segs.write.mode("overwrite").parquet(f"{args.output}/segments_1d")
-        all_metrics["segments_1d"] = [
-            {"rows": spark.read.parquet(f"{args.output}/segments_1d").count()}
-        ]
+        rows, nbytes = _footer_stats(f"{args.output}/segments_1d")
+        all_metrics["segments_1d"] = [{"rows": rows, "bytes": nbytes}]
 
     if args.features:
         from ts_pymfe_spark.api import TSMFESpark
 
         feats = TSMFESpark().extract(series)
         feats.write.mode("overwrite").parquet(f"{args.output}/features")
-        all_metrics["features"] = [
-            {"rows": spark.read.parquet(f"{args.output}/features").count()}
-        ]
+        rows, nbytes = _footer_stats(f"{args.output}/features")
+        all_metrics["features"] = [{"rows": rows, "bytes": nbytes}]
 
     print(
         json.dumps(

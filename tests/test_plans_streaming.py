@@ -363,3 +363,99 @@ def test_retention_expires_partitions_crash_safe(spark, turns, tmp_path):
 
     # idempotent + dry_run
     assert w3.apply_retention(cutoff, dry_run=True) == []
+
+
+def test_storage_backed_ingest_matches_batch_and_resumes(spark, turns, tmp_path):
+    """Round-5 storage-backed ingest (plans/ingest.py): the 1m tier is
+    committed from raw once, the turn-rate branch and the 1h/1d tiers
+    cascade merge-on-read from the committed store — no persisted
+    caches (the round-3 resume-OOM hazard).  Content must equal the
+    in-memory batch cascade, a crash-resume must restore an identical
+    store recomputing only the lost partitions, and retention must
+    expire suffixed (~rate) partitions alongside their day."""
+    import os
+
+    import pandas as pd
+
+    from ts_pymfe_spark.operators.derive import derive_series
+    from ts_pymfe_spark.operators.rollup import KEY, build_all_tiers
+    from ts_pymfe_spark.plans.ingest import RATE_SUFFIX, ingest_tiers
+    from ts_pymfe_spark.plans.manifest import CheckpointedWriter
+
+    out = str(tmp_path / "ingest_store")
+    series = derive_series(turns)
+    cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    metrics = ingest_tiers(spark, series, out, run_id="i1")
+    assert all(metrics[t] for t in ("1m", "1h", "1d"))
+    # storage-backed means NO caches: ingest must not register a single
+    # persisted relation (the round-3 resume-OOM hazard)
+    assert (
+        spark.sparkContext._jsc.getPersistentRDDs().size() == cached_before
+    )
+
+    def read_tier(t):
+        w = CheckpointedWriter(spark, f"{out}/tier={t}")
+        return (
+            w.read().orderBy(*KEY).toPandas().reset_index(drop=True)
+        )
+
+    batch = build_all_tiers(series, salted=False, persist=False)
+    snapshots = {}
+    for t in ("1m", "1h", "1d"):
+        got = read_tier(t)
+        exp = (
+            batch[t].orderBy(*KEY).toPandas().reset_index(drop=True)
+        )
+        assert len(got) == len(exp)
+        pd.testing.assert_frame_equal(
+            got[exp.columns], exp, check_exact=False, rtol=1e-12
+        )
+        snapshots[t] = got
+
+    # ~rate partitions committed under the same 1m root
+    parts_1m = sorted(
+        d.split("=", 1)[1] for d in os.listdir(f"{out}/tier=1m")
+        if d.startswith("part=")
+    )
+    rate_parts = [p for p in parts_1m if p.endswith(RATE_SUFFIX)]
+    assert rate_parts and len(rate_parts) < len(parts_1m)
+
+    # crash simulation: lose one main day + one ~rate day + one 1h day
+    import shutil
+
+    victims = {
+        "1m": [p for p in parts_1m if not p.endswith(RATE_SUFFIX)][0],
+        "1h": None,
+    }
+    lost = [("1m", victims["1m"]), ("1m", rate_parts[0])]
+    h_parts = sorted(
+        d.split("=", 1)[1] for d in os.listdir(f"{out}/tier=1h")
+        if d.startswith("part=")
+    )
+    lost.append(("1h", h_parts[-1]))
+    for tier, p in lost:
+        shutil.rmtree(f"{out}/tier={tier}/part={p}")
+        mdir = f"{out}/tier={tier}/_manifest"
+        for f in os.listdir(mdir):
+            if f.startswith(p + "-"):
+                os.remove(os.path.join(mdir, f))
+
+    redone = ingest_tiers(spark, series, out, run_id="i2")
+    assert sorted(e["partition"] for e in redone["1m"]) == sorted(
+        [victims["1m"], rate_parts[0]]
+    )
+    assert [e["partition"] for e in redone["1h"]] == [h_parts[-1]]
+    assert redone["1d"] == []
+    for t in ("1m", "1h", "1d"):
+        pd.testing.assert_frame_equal(
+            read_tier(t), snapshots[t], check_exact=False, rtol=1e-12
+        )
+
+    # retention expires a day's ~rate partition alongside the day
+    w1m = CheckpointedWriter(spark, f"{out}/tier=1m", run_id="ret")
+    days = sorted(p for p in parts_1m if not p.endswith(RATE_SUFFIX))
+    cutoff = days[1]
+    expired = w1m.apply_retention(cutoff)
+    assert days[0] in expired
+    assert f"{days[0]}{RATE_SUFFIX}" in expired
+    assert all(p < cutoff for p in expired)

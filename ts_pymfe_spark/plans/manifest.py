@@ -159,7 +159,8 @@ class CheckpointedWriter:
     # -- write ------------------------------------------------------------
     def run(self, df: DataFrame, partition_col: str = "bucket_start",
             granularity: str = "day",
-            files_per_partition: int = 4) -> list[dict]:
+            files_per_partition: int = 4,
+            partition_suffix: str = "") -> list[dict]:
         """Write ``df`` partitioned by ``date_trunc(granularity,
         partition_col)`` in ONE upstream execution; each partition still
         commits atomically (data files first — a filesystem rename into
@@ -188,12 +189,24 @@ class CheckpointedWriter:
         explicit (day, hash-salt) repartition before the write: without
         it every task writes a sliver of every day (tasks × days tiny
         files); one task per day would serialize the write at scale.
+
+        ``partition_suffix`` (round 5) lets two independently-resumable
+        logical branches share one tier root: partitions are named
+        ``{day}{suffix}`` (e.g. ``2025-06-01~rate``), tracked and
+        committed separately from the unsuffixed days, and ``read()``
+        returns the union of all live partitions.  Retention string
+        comparisons stay correct because the date prefix dominates the
+        ordering for any strictly-older date, and an equal-date
+        suffixed partition (``>`` the cutoff) is not strictly older so
+        it is correctly kept.
         ``wall_ms`` records the shared write-job wall on every entry of
         a batch (per-slice walls no longer exist); ``commit_ms`` is the
         per-partition rename+footer+manifest cost."""
         part = F.date_format(
             F.date_trunc(granularity, F.col(partition_col)), "yyyy-MM-dd"
         )
+        if partition_suffix:
+            part = F.concat(part, F.lit(partition_suffix))
         done = self.completed()
         pend = df.withColumn("_part", part)
         if done:
