@@ -1135,15 +1135,37 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+def _lang_prof_values() -> str:
+    """Inline VALUES list for the lang-id oracle, generated from the
+    SAME profile dict the Spark operator broadcasts — one source of
+    truth, so the oracle cannot drift from the engine."""
+    return ", ".join(
+        f"('{g}', '{lang}')"
+        for lang, gs in TP.LANG_PROFILES.items()
+        for g in gs
+    )
+
+
 @register(
     "lang_id",
     f"""
-    WITH t AS ({_DOC_TOKENS})
-    SELECT doc_id,
-           CASE WHEN len(list_filter(tokens, x -> list_contains(
-             ['the','a','of','and','to','in','is','it'], x))) * 1.0
-             / len(tokens) >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
-    FROM t
+    WITH prof(gram, lang) AS (VALUES {_lang_prof_values()}),
+    t AS (SELECT doc_id,
+                 ' ' || regexp_replace(lower(text), '[^a-zß-ÿ]+', ' ', 'g')
+                     || ' ' AS norm
+          FROM documents),
+    g AS (SELECT doc_id, substring(norm, CAST(u.i AS INTEGER), 3) AS gram
+          FROM t, unnest(range(1, CAST(length(norm) AS BIGINT) - 1)) AS u(i)),
+    sc AS (SELECT doc_id, lang, count(*) AS score
+           FROM g JOIN prof USING (gram) GROUP BY doc_id, lang),
+    best AS (SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+             FROM sc)
+    SELECT d.doc_id,
+           CASE WHEN b.score >= 3 THEN b.lang ELSE 'other' END AS lang_pred
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
     """,
 )
 def q_lang_id(spark, sf_dir):

@@ -277,3 +277,41 @@ def test_gp_cache_key_includes_params():
     _, pred_a2 = K.gp_fit_predict(x)
     assert not np.allclose(pred_a, pred_b)  # different jitter -> different fit
     assert np.array_equal(pred_a, pred_a2)  # default still memo-hit
+
+
+def test_lang_id_multilanguage_fixture(spark):
+    """Round-5 lang_id upgrade (VERDICT r4 #5): char-trigram profile
+    scoring must separate en/de/fr/es/it on a mixed-language fixture
+    and fall back to 'other' for non-text, deterministically."""
+    fixture = [
+        (0, "en", "The quick brown fox is jumping over the lazy dog "
+                  "with great speed and agility."),
+        (1, "en", "This is an example of a short English document to "
+                  "test the language identifier."),
+        (2, "de", "Der schnelle braune Fuchs springt über den faulen "
+                  "Hund und ist dabei sehr geschickt."),
+        (3, "de", "Das ist ein kurzes deutsches Dokument, das wir zum "
+                  "Testen der Spracherkennung nutzen."),
+        (4, "fr", "Le renard brun rapide saute par-dessus le chien "
+                  "paresseux et il est très agile."),
+        (5, "fr", "Ceci est un petit document en français que nous "
+                  "utilisons pour tester la détection."),
+        (6, "es", "El zorro marrón rápido salta sobre el perro "
+                  "perezoso y es muy ágil en el campo."),
+        (7, "es", "Este es un pequeño documento en español que usamos "
+                  "para probar la detección de idioma."),
+        (8, "it", "La volpe marrone veloce salta sopra il cane pigro "
+                  "ed è molto agile nel campo."),
+        (9, "it", "Questo è un piccolo documento in italiano che "
+                  "usiamo per provare il riconoscimento."),
+        (10, "other", "12345 67890 !!! ??? +++"),
+        (11, "other", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in fixture], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in TP.lang_id(df).collect()
+    }
+    assert got == {i: want for i, want, _ in fixture}
