@@ -459,3 +459,75 @@ def test_storage_backed_ingest_matches_batch_and_resumes(spark, turns, tmp_path)
     assert days[0] in expired
     assert f"{days[0]}{RATE_SUFFIX}" in expired
     assert all(p < cutoff for p in expired)
+
+
+def test_stream_store_retention_expires_batches_crash_safe(
+        spark, turns, tmp_path):
+    """Round-5 streaming retention (VERDICT r4 #6): the streamed
+    partial store must expire old batch dirs tombstone-first (footer
+    max(bucket_start) strictly older than the cutoff), read_tier must
+    exclude tombstoned orphans a crash left behind, and the next pass
+    must sweep them — mirroring
+    test_retention_expires_partitions_crash_safe."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ts_pymfe_spark.streaming.rollup_stream import (
+        apply_stream_retention,
+        read_tier,
+        run_stream_to_store,
+    )
+
+    in_dir = str(tmp_path / "ret_stream_in")
+    store = str(tmp_path / "ret_stream_store")
+    ckpt = str(tmp_path / "ret_stream_ckpt")
+    # one input FILE per day -> with maxFilesPerTrigger=1, one batch
+    # per day, so batch expiry aligns with day expiry
+    days = sorted(
+        r["d"].isoformat()
+        for r in turns.select(
+            F.to_date("ts").alias("d")
+        ).distinct().collect()
+    )
+    assert len(days) >= 3
+    for d in days:
+        (
+            turns.filter(F.to_date("ts") == d)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+    run_stream_to_store(spark, in_dir, store, ckpt,
+                        max_files_per_trigger=1)
+
+    pre = read_tier(spark, store, "1m").orderBy(*KEY).toPandas()
+    cutoff = days[2]
+
+    expired = apply_stream_retention(store, "1m", cutoff)
+    assert len(expired) == 2  # exactly the two all-older-than-cutoff days
+    for b in expired:
+        assert not os.path.exists(f"{store}/tier=1m/{b}")
+        assert os.path.exists(f"{store}/tier=1m/_retention/{b}.json")
+
+    got = read_tier(spark, store, "1m").orderBy(*KEY).toPandas()
+    exp = pre[
+        pre["bucket_start"].dt.strftime("%Y-%m-%d") >= cutoff
+    ].reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    np.testing.assert_array_equal(got["n"].to_numpy(), exp["n"].to_numpy())
+    np.testing.assert_allclose(
+        got["s1"].to_numpy(), exp["s1"].to_numpy(), rtol=1e-12
+    )
+
+    # idempotent
+    assert apply_stream_retention(store, "1m", cutoff, dry_run=True) == []
+
+    # crash simulation: a tombstoned dir resurfaces -> read_tier still
+    # excludes it, and the next pass sweeps it
+    orphan = expired[0]
+    os.makedirs(f"{store}/tier=1m/{orphan}", exist_ok=True)
+    got2 = read_tier(spark, store, "1m").orderBy(*KEY).toPandas()
+    assert len(got2) == len(exp)
+    assert apply_stream_retention(store, "1m", cutoff) == []
+    assert not os.path.exists(f"{store}/tier=1m/{orphan}")

@@ -57,6 +57,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Write timestamps as TIMESTAMP_MICROS, not the deprecated
+        # INT96: INT96 columns carry NO parquet min/max statistics, so
+        # row-group pruning on bucket_start never fires and footer-
+        # based retention (streaming/rollup_stream.apply_stream_
+        # retention) cannot see batch time ranges.  Micros is also
+        # what Iceberg mandates, keeping the stand-in swap-compatible.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

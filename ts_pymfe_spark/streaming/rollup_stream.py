@@ -54,7 +54,8 @@ def streaming_rollup_1m_watermarked(turns_stream: DataFrame,
 
 
 def run_stream_to_store(spark: SparkSession, input_dir: str, store_dir: str,
-                        checkpoint_dir: str) -> None:
+                        checkpoint_dir: str,
+                        max_files_per_trigger: int = 8) -> None:
     """availableNow streaming job: per-batch partial moment vectors
     appended per tier; exactly-once batch tracking via the streaming
     checkpoint (a replayed batch overwrites its own deterministic
@@ -91,7 +92,7 @@ def run_stream_to_store(spark: SparkSession, input_dir: str, store_dir: str,
             t1m.unpersist()
 
     q = (
-        stream_turns(spark, input_dir)
+        stream_turns(spark, input_dir, max_files_per_trigger)
         .writeStream.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .foreachBatch(merge_batch)
@@ -100,15 +101,114 @@ def run_stream_to_store(spark: SparkSession, input_dir: str, store_dir: str,
     q.awaitTermination()
 
 
+def _live_batch_dirs(store_dir: str, tier: str) -> list[str]:
+    """Batch partial dirs that are not retention-tombstoned."""
+    import os
+
+    root = f"{store_dir}/tier={tier}"
+    dead = set()
+    ret = f"{root}/_retention"
+    if os.path.isdir(ret):
+        dead = {f[: -len(".json")] for f in os.listdir(ret)
+                if f.endswith(".json")}
+    return [
+        f"{root}/{d}" for d in sorted(os.listdir(root))
+        if d.startswith("batch=") and d not in dead
+    ]
+
+
 def read_tier(spark: SparkSession, store_dir: str, tier: str) -> DataFrame:
     """Merge-on-read: combine per-batch partial vectors into final
     bucket vectors — identical algebra to the batch cascade, so
-    streaming output == batch output exactly."""
+    streaming output == batch output exactly.  Retention-tombstoned
+    batch dirs are excluded even if a crash left them on disk."""
+    paths = _live_batch_dirs(store_dir, tier)
+    if not paths:
+        raise FileNotFoundError(
+            f"no live batch partials under {store_dir}/tier={tier}"
+        )
     return (
-        spark.read.parquet(f"{store_dir}/tier={tier}")
+        spark.read.parquet(*paths)
         .groupBy(*KEY)
         .agg(*moment_merge_aggs())
     )
+
+
+def _batch_max_bucket(batch_dir: str):
+    """Max ``bucket_start`` across a batch dir, from parquet FOOTER
+    row-group statistics — no data read (same principle as
+    plans/manifest._footer_stats)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    mx = None
+    for f in os.listdir(batch_dir):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(batch_dir, f)).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema != "bucket_start":
+                    continue
+                st = col.statistics
+                if st is not None and st.has_min_max:
+                    mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
+def apply_stream_retention(store_dir: str, tier: str,
+                           older_than: str,
+                           dry_run: bool = False) -> list[str]:
+    """Retention for the streamed partial store (round 5 — the batch
+    ladder's ``manifest.apply_retention`` counterpart; without it the
+    partial store grows unboundedly).
+
+    A ``batch=N`` partial dir is expired when EVERY row in it is
+    strictly older than ``older_than`` (YYYY-MM-DD) — decided from the
+    parquet footer max of ``bucket_start``, no data read.  Batches
+    that straddle the cutoff are conservatively kept (partial vectors
+    cannot be row-filtered without rewriting the batch; periodic
+    compaction into day partitions is the production path for those).
+
+    Crash-safe ordering mirrors the batch ladder: the tombstone
+    (``_retention/batch=N.json``) commits FIRST via atomic rename,
+    then the directory is deleted.  A crash in between leaves a
+    tombstoned-but-present orphan: ``read_tier`` already excludes it,
+    and the next retention pass sweeps it.  Returns newly expired
+    batch dir names."""
+    import datetime as _dt
+    import json as _json
+    import os
+    import shutil
+
+    cutoff = _dt.date.fromisoformat(older_than)
+    root = f"{store_dir}/tier={tier}"
+    ret = f"{root}/_retention"
+    victims = []
+    for path in _live_batch_dirs(store_dir, tier):
+        mx = _batch_max_bucket(path)
+        if mx is not None and mx.date() < cutoff:
+            victims.append(os.path.basename(path))
+    if dry_run:
+        return victims
+    os.makedirs(ret, exist_ok=True)
+    for b in victims:
+        fname = f"{ret}/{b}.json"
+        tmp = fname + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_json.dumps(
+                {"batch": b, "expired": True, "older_than": older_than}
+            ) + "\n")
+        os.rename(tmp, fname)  # atomic tombstone commit point
+    # sweep: newly expired dirs AND orphans from a crashed prior pass
+    dead = {f[: -len(".json")] for f in os.listdir(ret)
+            if f.endswith(".json")}
+    for b in sorted(dead):
+        shutil.rmtree(f"{root}/{b}", ignore_errors=True)
+    return victims
 
 
 def read_all_tiers(spark: SparkSession, store_dir: str,
