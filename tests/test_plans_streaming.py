@@ -531,3 +531,87 @@ def test_stream_store_retention_expires_batches_crash_safe(
     assert len(got2) == len(exp)
     assert apply_stream_retention(store, "1m", cutoff) == []
     assert not os.path.exists(f"{store}/tier=1m/{orphan}")
+
+
+def test_stream_store_compaction_exactly_once(spark, turns, tmp_path):
+    """Round-5 compaction: partials older than the watermark move into
+    the day-partitioned checkpointed layout; the marker atomically
+    switches reads so straddling batches are never double-counted;
+    fully-old batch dirs are swept; the union view equals the pure
+    partial read exactly; a marker can never move backwards."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from ts_pymfe_spark.streaming.rollup_stream import (
+        compact_stream_store,
+        read_tier,
+        read_tier_compacted,
+        run_stream_to_store,
+    )
+
+    in_dir = str(tmp_path / "cmp_in")
+    store = str(tmp_path / "cmp_store")
+    compact = str(tmp_path / "cmp_compact")
+    ckpt = str(tmp_path / "cmp_ckpt")
+    days = sorted(
+        r["d"].isoformat()
+        for r in turns.select(
+            F.to_date("ts").alias("d")
+        ).distinct().collect()
+    )
+    assert len(days) >= 3
+    # one file per day, PLUS one file straddling days[0] and days[-1]
+    straddle = turns.filter(
+        F.to_date("ts").isin(days[0], days[-1])
+        & (F.pmod(F.hash("conv_id"), F.lit(7)) == 0)
+    )
+    rest = turns.join(
+        straddle.select("conv_id", "turn_idx"),
+        ["conv_id", "turn_idx"],
+        "left_anti",
+    )
+    for d in days:
+        (
+            rest.filter(F.to_date("ts") == d)
+            .coalesce(1).write.mode("append").parquet(in_dir)
+        )
+    straddle.coalesce(1).write.mode("append").parquet(in_dir)
+    run_stream_to_store(spark, in_dir, store, ckpt,
+                        max_files_per_trigger=1)
+
+    pre = read_tier(spark, store, "1m").orderBy(*KEY).toPandas()
+    n_batches = len(os.listdir(f"{store}/tier=1m"))
+
+    cutoff = days[2]
+    committed = compact_stream_store(
+        spark, store, compact, "1m", cutoff, run_id="c1"
+    )
+    assert sorted(e["partition"] for e in committed) == days[:2]
+    # day-aligned old batches swept; the straddling batch survives
+    remaining = [
+        d for d in os.listdir(f"{store}/tier=1m") if d.startswith("batch=")
+    ]
+    assert len(remaining) == n_batches - 1 - 2  # -_compacted marker +2 swept
+
+    got = read_tier_compacted(spark, store, compact, "1m").orderBy(
+        *KEY
+    ).toPandas()
+    assert len(got) == len(pre)
+    np.testing.assert_array_equal(got["n"].to_numpy(), pre["n"].to_numpy())
+    np.testing.assert_allclose(
+        got["s1"].to_numpy(), pre["s1"].to_numpy(), rtol=1e-12
+    )
+
+    # idempotent re-run: nothing new to commit, view unchanged
+    assert compact_stream_store(
+        spark, store, compact, "1m", cutoff, run_id="c2"
+    ) == []
+    got2 = read_tier_compacted(spark, store, compact, "1m").count()
+    assert got2 == len(pre)
+
+    # the marker is monotone
+    with _pytest.raises(ValueError):
+        compact_stream_store(spark, store, compact, "1m", days[0])

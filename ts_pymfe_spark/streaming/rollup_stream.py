@@ -159,6 +159,126 @@ def _batch_max_bucket(batch_dir: str):
     return mx
 
 
+def _compaction_marker(store_dir: str, tier: str) -> str | None:
+    """The compaction watermark: buckets strictly older than this
+    YYYY-MM-DD live in the compacted store, not the partials."""
+    import json as _json
+    import os
+
+    path = f"{store_dir}/tier={tier}/_compacted_until.json"
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return _json.load(f)["older_than"]
+
+
+def compact_stream_store(spark: SparkSession, store_dir: str,
+                         compact_dir: str, tier: str, older_than: str,
+                         run_id: str | None = None) -> list[dict]:
+    """Compact streamed partials older than ``older_than`` into the
+    day-partitioned checkpointed layout (round 5) — the production
+    maintenance pass the partial store's design assumes: without it
+    merge-on-read degrades as O(#batches) and retention can only drop
+    whole batches.
+
+    Mechanics (exactly-once via the marker as the atomic switch):
+
+      1. live partials are filtered to ``bucket_start < older_than``,
+         merged with the same associative ``moment_merge_aggs`` a
+         read would apply, and committed day-partitioned through
+         ``CheckpointedWriter`` (resume-safe: already-committed days
+         are skipped on a re-run);
+      2. the ``_compacted_until.json`` marker is advanced (atomic
+         rename) — from this instant ``read_tier_compacted`` takes
+         old buckets from the compacted store and keeps reading the
+         partials only for buckets >= the marker, so a batch that
+         straddles the cutoff is never double-counted;
+      3. batch dirs whose footer max(bucket_start) is strictly older
+         than the marker are deleted — every row they held is in the
+         compacted store.  A crash before this step leaves garbage
+         the marker filter already hides; the next pass sweeps it.
+
+    Contract: ``older_than`` is a watermark — rows older than an
+    already-advanced marker must not arrive in later batches (a real
+    deployment routes such stragglers through a late lane).  Returns
+    the manifest entries committed by this call."""
+    import datetime as _dt
+    import json as _json
+    import os
+    import shutil
+
+    from ts_pymfe_spark.plans.manifest import CheckpointedWriter
+
+    prev = _compaction_marker(store_dir, tier)
+    if prev is not None and older_than < prev:
+        raise ValueError(
+            f"compaction marker cannot move backwards: {older_than} < {prev}"
+        )
+    paths = _live_batch_dirs(store_dir, tier)
+    w = CheckpointedWriter(spark, f"{compact_dir}/tier={tier}",
+                           run_id=run_id)
+    committed: list[dict] = []
+    if paths:
+        merged_old = (
+            spark.read.parquet(*paths)
+            .filter(F.col("bucket_start") < F.lit(older_than))
+            .groupBy(*KEY)
+            .agg(*moment_merge_aggs())
+        )
+        committed = w.run(merged_old, "bucket_start", "day")
+    # advance the marker (atomic commit point of the read switch)
+    marker = f"{store_dir}/tier={tier}/_compacted_until.json"
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(_json.dumps({"older_than": older_than}) + "\n")
+    os.rename(tmp, marker)
+    # sweep batch dirs now fully represented in the compacted store
+    cutoff = _dt.date.fromisoformat(older_than)
+    for path in _live_batch_dirs(store_dir, tier):
+        mx = _batch_max_bucket(path)
+        if mx is not None and mx.date() < cutoff:
+            shutil.rmtree(path, ignore_errors=True)
+    return committed
+
+
+def read_tier_compacted(spark: SparkSession, store_dir: str,
+                        compact_dir: str, tier: str) -> DataFrame:
+    """Union view over the compacted store and the live partials —
+    the reader for a compacted streaming tier.  The marker decides
+    the split: compacted rows are final vectors for buckets strictly
+    older than it; partial rows at or after it still merge on read.
+    The two sides' keys are disjoint by construction, so the union
+    needs no further aggregation."""
+    from ts_pymfe_spark.plans.manifest import CheckpointedWriter
+
+    marker = _compaction_marker(store_dir, tier)
+    if marker is None:
+        return read_tier(spark, store_dir, tier)
+    paths = _live_batch_dirs(store_dir, tier)
+    fresh = None
+    if paths:
+        fresh = (
+            spark.read.parquet(*paths)
+            .filter(F.col("bucket_start") >= F.lit(marker))
+            .groupBy(*KEY)
+            .agg(*moment_merge_aggs())
+        )
+    try:
+        old = CheckpointedWriter(
+            spark, f"{compact_dir}/tier={tier}"
+        ).read().filter(F.col("bucket_start") < F.lit(marker))
+    except FileNotFoundError:
+        # marker advanced but nothing was old enough to compact yet
+        old = None
+    if old is None and fresh is None:
+        raise FileNotFoundError(
+            f"no data in either store for tier={tier}"
+        )
+    if old is None:
+        return fresh
+    return old if fresh is None else old.unionByName(fresh)
+
+
 def apply_stream_retention(store_dir: str, tier: str,
                            older_than: str,
                            dry_run: bool = False) -> list[str]:
