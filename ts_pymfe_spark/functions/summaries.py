@@ -164,7 +164,7 @@ _EXTRA_KEY_TYPES = {"resample": "int"}
 
 
 def summarize(feature_df, summaries=DEFAULT_SUMMARIES, extra_keys=(),
-              carry=()):
+              carry=(), parallelism=None):
     """Spark second stage: long feature table (conv_id, series,
     [*extra_keys,] feature, idx, value) -> (conv_id, series,
     [*extra_keys,] feature, summary, value[, *carry]).
@@ -179,7 +179,17 @@ def summarize(feature_df, summaries=DEFAULT_SUMMARIES, extra_keys=(),
     (e.g. the kernel-stage ``wall_ms``) and pass through to every
     output row — this lets measure_time ride the summary stage in the
     SAME single pass instead of a second aggregation + join over the
-    expensive kernel output."""
+    expensive kernel output.
+
+    ``parallelism``: like ``series_features`` (round 5): the summary
+    shuffle's byte size is tiny (a few MB of long-format feature rows)
+    but carries one Python invocation per (conv, series, feature)
+    group, so AQE's bytes-based coalescing collapses it to ~1 task and
+    serializes tens of thousands of grouped-map calls (measured: the
+    6-feature flagship summary stage 28.2 s collapsed vs 3.2 s with an
+    explicit numbered repartition at local[32]/sf0.1).  The explicit
+    repartition on the group keys opts out of AQE coalescing and still
+    satisfies the groupBy's required clustering — no extra shuffle."""
     from pyspark.sql import DataFrame  # local import keeps module numpy-pure
 
     extra_keys, carry = tuple(extra_keys), tuple(carry)
@@ -192,6 +202,11 @@ def summarize(feature_df, summaries=DEFAULT_SUMMARIES, extra_keys=(),
         + "".join(f", {c} double" for c in carry)
     )
     group_keys = ("conv_id", "series", *extra_keys, "feature")
+    if parallelism is None:
+        parallelism = (
+            2 * feature_df.sparkSession.sparkContext.defaultParallelism
+        )
+    feature_df = feature_df.repartition(parallelism, *group_keys)
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("idx")
