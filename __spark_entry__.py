@@ -1184,6 +1184,64 @@ def q_exact_dedup(spark, sf_dir):
     return TP.exact_dedup(read(spark, sf_dir, "documents"))
 
 
+#: BPE pre-tokenizer patterns quoted for DuckDB string literals — the
+#: textpipe Python constants are the single source of truth (raw-string
+#: backslashes pass through DuckDB regular literals untouched; only '
+#: needs doubling). Same bytes reach Java regex (Spark) and RE2 (oracle).
+_BPE_RE_SQL = TP.BPE_PRETOKEN_RE.replace("'", "''")
+_WS_RE_SQL = TP._WS_ONLY_RE.replace("'", "''")
+_CONTR_RE_SQL = TP._CONTRACTION_RE.replace("'", "''")
+
+
+@register(
+    "bpe_token_stats",
+    f"""
+    WITH m AS (
+      SELECT doc_id, length(text) AS nc,
+             regexp_extract_all(text, '{_BPE_RE_SQL}') AS pre
+      FROM documents),
+    s AS (
+      SELECT doc_id, nc, len(pre) AS n_pretok,
+             len(list_filter(pre,
+               x -> NOT regexp_matches(x, '{_WS_RE_SQL}'))) AS n_tokens,
+             len(list_filter(pre,
+               x -> regexp_matches(x, '{_CONTR_RE_SQL}')))
+               AS n_contractions
+      FROM m)
+    SELECT doc_id, n_pretok, n_tokens, n_contractions,
+           round(CASE WHEN n_tokens > 0
+                 THEN nc * 1.0 / n_tokens END, 6) AS chars_per_token
+    FROM s
+    """,
+)
+def q_bpe_token_stats(spark, sf_dir):
+    s = TP.bpe_token_stats(read(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id", "n_pretok", "n_tokens", "n_contractions",
+        r(F.col("chars_per_token")).alias("chars_per_token"),
+    )
+
+
+@register(
+    "ngram_topk",
+    f"""
+    WITH t AS ({_DOC_TOKENS}),
+    g AS (
+      SELECT doc_id, concat_ws(' ', tokens[i], tokens[i+1]) AS ngram
+      FROM t, unnest(generate_series(1, len(tokens) - 1)) AS u(i)
+      WHERE len(tokens) >= 2),
+    pd AS (SELECT ngram, doc_id, count(*) AS c
+           FROM g GROUP BY ngram, doc_id)
+    SELECT ngram, CAST(sum(c) AS BIGINT) AS total_count,
+           count(*) AS n_docs
+    FROM pd GROUP BY ngram
+    ORDER BY total_count DESC, ngram ASC LIMIT 20
+    """,
+)
+def q_ngram_topk(spark, sf_dir):
+    return TP.ngram_topk(read(spark, sf_dir, "documents"), n=2, k=20)
+
+
 @register(
     "doc_fingerprint",
     f"""

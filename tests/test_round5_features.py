@@ -1,0 +1,93 @@
+"""Round-5 text-analysis additions: BPE-ish pre-tokenizer stats and
+corpus top-k n-grams (training-pipeline ops per the task brief; the
+reference has no tokenizer — these are engine additions, cited as such
+in COVERAGE.md)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ts_pymfe_spark.operators import textpipe as TP
+
+
+FIXTURE = [
+    (0, "Hello, world! It's 2026 -- we're  testing   BPE-ish "
+        "tokens... don't panic (v2.0)"),
+    (1, "it''s a 'quoted' word 'x and trailing '"),
+    (2, "the cat sat. the cat sat. the dog ran."),
+    (3, ""),
+    (4, "   "),
+    (5, "one-token"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(FIXTURE, "doc_id int, text string")
+
+
+def _py_pretok(text: str) -> list[str]:
+    """Independent oracle: Python re (leftmost-first backtracking, same
+    family as Java regex) over the same public GPT-2-style pattern."""
+    return re.findall(TP.BPE_PRETOKEN_RE, text)
+
+
+def test_bpe_token_stats_matches_python_re(docs):
+    got = {r["doc_id"]: r.asDict() for r in TP.bpe_token_stats(docs).collect()}
+    for doc_id, text in FIXTURE:
+        pre = _py_pretok(text)
+        toks = [t for t in pre if not re.match(TP._WS_ONLY_RE, t)]
+        contr = [t for t in pre if re.match(TP._CONTRACTION_RE, t)]
+        row = got[doc_id]
+        assert row["n_pretok"] == len(pre), (doc_id, pre)
+        assert row["n_tokens"] == len(toks), (doc_id, toks)
+        assert row["n_contractions"] == len(contr), (doc_id, contr)
+        if toks:
+            assert row["chars_per_token"] == pytest.approx(
+                len(text) / len(toks))
+        else:
+            assert row["chars_per_token"] is None
+
+
+def test_bpe_contraction_and_space_folding(docs):
+    """Hand-checked pre-token stream for the fixture with contractions:
+    leading spaces fold into the next token; 's / 're / 't split off."""
+    pre = _py_pretok(FIXTURE[0][1])
+    assert "'s" in pre and "'re" in pre and "'t" in pre
+    assert " world" in pre and " tokens" in pre
+    # double/triple spaces: one char rides the next token, rest separate
+    assert "  " in pre or "   " in pre
+
+
+def test_ngram_topk_hand_counts(docs):
+    """Doc 2 dominates the bigram counts: 'the cat' x2, 'cat sat.' x2."""
+    top = TP.ngram_topk(docs, n=2, k=3).collect()
+    as_map = {r["ngram"]: (r["total_count"], r["n_docs"]) for r in top}
+    assert as_map["the cat"] == (2, 1)
+    assert as_map["cat sat."] == (2, 1)
+    # deterministic tie-break: count desc then ngram asc
+    ordered = [r["ngram"] for r in top]
+    assert ordered == sorted(
+        ordered,
+        key=lambda g: (-as_map.get(g, (0, 0))[0], g),
+    )
+
+
+def test_ngram_topk_no_expand_node(docs):
+    """Scale audit: the two-stage distinct-doc count must not plan an
+    Expand node (countDistinct would), and the top-k must be a
+    TakeOrdered, not a global sort."""
+    plan = TP.ngram_topk(docs, n=2, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ngram_topk_short_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, ""), (2, "a b")], "doc_id int, text string")
+    rows = TP.ngram_topk(df, n=2, k=10).collect()
+    assert [(r["ngram"], r["total_count"]) for r in rows] == [("a b", 1)]

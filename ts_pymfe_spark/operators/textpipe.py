@@ -151,6 +151,93 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     )
 
 
+#: BPE-style pre-tokenizer regex (GPT-2 family, lookahead-free so the
+#: exact same pattern runs on Java regex (Spark) and RE2 (DuckDB oracle);
+#: both engines use leftmost-first alternation, verified on fixtures).
+#: Explicit whitespace classes instead of \s: Java's \s includes \x0B,
+#: RE2's does not — spelling the class out removes the divergence.
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+"
+)
+
+#: Matches pure-whitespace pre-tokens (separators, not counted as tokens)
+#: and the contraction pieces, for the per-doc stats below.
+_WS_ONLY_RE = r"^[ \t\n\r\f]+$"
+_CONTRACTION_RE = r"^'(s|t|re|ve|m|ll|d)$"
+
+
+def bpe_pretokens_col(text: str = "text") -> F.Column:
+    """All BPE pre-token matches of ``text`` (leading spaces folded into
+    the following token, GPT-2 style; whitespace runs kept as separate
+    matches so counts are auditable)."""
+    return F.regexp_extract_all(F.col(text), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def bpe_token_stats(df: DataFrame, id_col: str = "doc_id",
+                    text: str = "text") -> DataFrame:
+    """Per-doc BPE-ish tokenizer statistics — the token-counting op a
+    training-data pipeline budgets with (sequence packing, cost
+    estimates): ``(doc_id, n_pretok, n_tokens, n_contractions,
+    chars_per_token)``.
+
+    ``n_tokens`` excludes pure-whitespace matches; ``chars_per_token``
+    (bytes-per-token proxy) is NULL for token-free docs (ANSI-safe).
+    Narrow per-row map — no shuffle, no UDF; one regex pass per doc.
+    """
+    m = df.select(
+        id_col,
+        F.length(F.col(text)).alias("_nc"),
+        bpe_pretokens_col(text).alias("_pre"),
+    )
+    n_tok = F.size(F.filter("_pre", lambda x: ~x.rlike(_WS_ONLY_RE)))
+    return m.select(
+        id_col,
+        F.size("_pre").alias("n_pretok"),
+        n_tok.alias("n_tokens"),
+        F.size(F.filter("_pre", lambda x: x.rlike(_CONTRACTION_RE)))
+        .alias("n_contractions"),
+        F.when(n_tok > 0, F.col("_nc") / n_tok)
+        .cast("double").alias("chars_per_token"),
+    )
+
+
+def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
+               id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Corpus-level top-k word n-grams:
+    ``(ngram, total_count, n_docs)`` — the corpus-statistics op behind
+    boilerplate detection and contamination screens.
+
+    Scale shape (100 TB): explode is narrow; aggregation is two-stage —
+    groupBy (ngram, doc) then groupBy ngram over the already-reduced
+    per-doc counts — so both exchanges are map-side partial-aggregated
+    and there is no Expand node (a direct countDistinct would double
+    every exploded row). The final top-k is ``orderBy().limit(k)`` =
+    TakeOrdered: each partition keeps k rows, the driver merges k·p.
+    Ties break deterministically (count desc, ngram asc).
+    """
+    t = with_tokens(df, text).filter(F.size("tokens") >= n)
+    grams = t.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tokens") - n),
+                lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, n)),
+            )
+        ).alias("ngram"),
+    )
+    per_doc = grams.groupBy("ngram", id_col).agg(F.count("*").alias("_c"))
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.sum("_c").alias("total_count"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy(F.desc("total_count"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
     t = with_tokens(df)
