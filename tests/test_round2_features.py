@@ -165,14 +165,18 @@ def test_media_features_real_decode_path(spark):
     from ts_pymfe_spark.operators import multimodal as MM
 
     media = MM.synth_media(spark, 18)
+    mimes = {
+        r["media_id"]: r["mime"] for r in media.select("media_id", "mime").collect()
+    }
     out = MM.extract_media_features(media).toPandas()
     assert len(out) == 18
     by_kind = out.set_index("media_id")["feature"]
     kinds = out.set_index("media_id")["kind"]
     for mid, feat in by_kind.items():
-        if kinds[mid] == "video":
+        if kinds[mid] == "video" and mimes[mid] == "video/mp4":
             assert feat is None  # compressed container: stub retained
         else:
+            # BMP / WAV / raw YUV4MPEG2: real decode
             assert feat is not None and len(feat) == 16
     # audio features: rms of a 0.5-amplitude sine ~ 0.35
     audio = out[out.kind == "audio"]["feature"]

@@ -75,16 +75,32 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 sr,
             )
         else:
-            size = int(rng.integers(256, 4096))
-            payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
-            w = h = None
-            dur = int(rng.integers(100, 60000))
+            # Alternate REAL YUV4MPEG2 clips (decode/frame-sample path
+            # exercised for real) with opaque mp4-mimed blobs (the
+            # compressed-container containment path).
+            if (i // 3) % 2 == 0:
+                w, h = 2 * int(rng.integers(2, 12)), 2 * int(rng.integers(2, 12))
+                nf = int(rng.integers(3, 12))
+                fps = (25, 1)
+                payload = encode_y4m(
+                    rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8),
+                    fps,
+                )
+                dur = int(nf * 1000 * fps[1] / fps[0])
+                mime = "video/x-yuv4mpeg"
+            else:
+                size = int(rng.integers(256, 4096))
+                payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+                w = h = None
+                dur = int(rng.integers(100, 60000))
+                mime = "video/mp4"
+        if kind != "video":
+            mime = {"image": "image/bmp", "audio": "audio/wav"}[kind]
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/bmp", "audio": "audio/wav",
-                 "video": "video/mp4"}[kind],
+                mime,
                 w if kind != "audio" else None,
                 h if kind != "audio" else None,
                 dur if kind != "image" else None,
@@ -195,6 +211,87 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if flip else img
 
 
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Minimal YUV4MPEG2 (.y4m) writer — the standard uncompressed
+    video interchange container (plain-text stream header, ``FRAME``
+    markers, raw planar YUV; public format, used by ffmpeg/mjpegtools).
+
+    ``frames``: (n, h, w, 3) uint8 YUV444; written as C420jpeg with a
+    2x2 box-filter chroma subsample (h, w must be even)."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = fr.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even frame dimensions")
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n"
+        .encode()
+    )
+    for f in fr:
+        out += b"FRAME\n"
+        out += f[:, :, 0].tobytes()
+        for c in (1, 2):
+            plane = f[:, :, c].astype(np.uint16)
+            sub = (
+                plane[0::2, 0::2] + plane[0::2, 1::2]
+                + plane[1::2, 0::2] + plane[1::2, 1::2] + 2
+            ) // 4
+            out += sub.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[dict, list[tuple[np.ndarray, ...]]]:
+    """YUV4MPEG2 reader for C420*/C444 streams -> (meta, frames).
+
+    meta: {width, height, fps_num, fps_den, colorspace, n_frames};
+    frames: list of (y, u, v) uint8 planes (u/v at subsampled size for
+    C420).  Compressed video containers (mp4/webm…) need external
+    libraries and raise NotImplementedError upstream (decode stays
+    stubbed for them — this path is the REAL one for raw video)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    num, den, cs = 25, 1, "C420jpeg"
+    for tok in payload[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            cs = tok
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith("C420"):
+        usz = (h // 2, w // 2)
+    elif cs.startswith("C444"):
+        usz = (h, w)
+    else:
+        raise NotImplementedError(f"y4m colorspace {cs} not supported")
+    fsz = h * w + 2 * usz[0] * usz[1]
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        raw = np.frombuffer(payload[pos:pos + fsz], dtype=np.uint8)
+        if raw.size != fsz:
+            raise ValueError("truncated y4m frame")
+        y = raw[: h * w].reshape(h, w)
+        u = raw[h * w: h * w + usz[0] * usz[1]].reshape(usz)
+        v = raw[h * w + usz[0] * usz[1]:].reshape(usz)
+        frames.append((y, u, v))
+        pos += fsz
+    return (
+        {"width": w, "height": h, "fps_num": num, "fps_den": den,
+         "colorspace": cs, "n_frames": len(frames)},
+        frames,
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode: real path for uncompressed BMP (pure numpy, above);
     compressed formats (PNG/JPEG) require PIL/opencv which are not in
@@ -238,9 +335,24 @@ def media_features(payload: bytes) -> np.ndarray:
         return np.concatenate(
             [means, [contrast], hist]
         ).astype(np.float32)
+    if payload[:9] == b"YUV4MPEG2":
+        meta, frames = decode_y4m(payload)
+        ys = np.stack([f[0] for f in frames]).astype(np.float64)
+        y_mean = float(ys.mean()) / 255.0
+        y_std = float(ys.std()) / 255.0
+        motion = (
+            float(np.abs(np.diff(ys, axis=0)).mean()) / 255.0
+            if len(frames) > 1 else 0.0
+        )
+        dur = len(frames) * meta["fps_den"] / meta["fps_num"]
+        hist, _ = np.histogram(ys, bins=12, range=(0.0, 255.0))
+        hist = hist / ys.size
+        return np.concatenate(
+            [[y_mean, y_std, motion, dur], hist]
+        ).astype(np.float32)
     raise NotImplementedError(
         "compressed media decode requires external libraries; only "
-        "RIFF/WAVE PCM16 and 24-bit BMP decode natively"
+        "RIFF/WAVE PCM16, 24-bit BMP and YUV4MPEG2 decode natively"
     )
 
 
@@ -329,9 +441,66 @@ def extract_media_features(df: DataFrame,
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms double, "
+    "y_mean float, y_std float, u_mean float, v_mean float, motion float"
+)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
+    """REAL video frame sampling: decode YUV4MPEG2 payloads and emit
+    one row per k-th frame with per-frame plane statistics and motion
+    energy (mean |Δ luma| vs the previous *sampled* frame; 0 for the
+    first).  Compressed containers (mp4/webm) raise inside the worker
+    and contribute zero rows — the NotImplementedError containment
+    pattern shared with ``extract_media_features``.
+
+    Scale shape: narrow mapInPandas (no shuffle); payload bytes bound
+    the Arrow batch via ``repartition_for_media``; outputs are slim
+    fixed-width rows so downstream per-video aggregation shuffles
+    O(sampled frames), never blobs."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "media_id", "frame_idx", "frame_ts_ms", "y_mean",
+                    "y_std", "u_mean", "v_mean", "motion",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    meta, frames = decode_y4m(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                ms_per_frame = 1000.0 * meta["fps_den"] / meta["fps_num"]
+                prev_y = None
+                for idx in range(0, len(frames), every_n):
+                    y, u, v = frames[idx]
+                    yf = y.astype(np.float64)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append(idx * ms_per_frame)
+                    out["y_mean"].append(yf.mean() / 255.0)
+                    out["y_std"].append(yf.std() / 255.0)
+                    out["u_mean"].append(float(u.mean()) / 255.0)
+                    out["v_mean"].append(float(v.mean()) / 255.0)
+                    out["motion"].append(
+                        0.0 if prev_y is None
+                        else float(np.abs(yf - prev_y).mean()) / 255.0
+                    )
+                    prev_y = yf
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, FRAME_SCHEMA)
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per planned frame
-    (decode stubbed).  Demonstrates the explode-by-schedule pattern —
+    (decode-free).  Demonstrates the explode-by-schedule pattern —
     the frame grid is computed relationally, the decoder only ever sees
     (media_id, frame_ts) work units."""
     return (
