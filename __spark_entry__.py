@@ -1242,6 +1242,62 @@ def q_ngram_topk(spark, sf_dir):
     return TP.ngram_topk(read(spark, sf_dir, "documents"), n=2, k=20)
 
 
+# DuckDB hex-string -> BIGINT (horner reduce; no float pow — md5
+# prefixes can exceed double precision).  Shared by the CDC, minhash
+# and LSH oracles below.
+_HEX2INT = (
+    "list_reduce(list_transform(string_split({h}, ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, x) -> a * 16 + x)"
+)
+
+
+def _cdc_oracle() -> str:
+    from ts_pymfe_spark.operators.textpipe import CDC_MODULUS, CDC_WINDOW
+
+    w, m = CDC_WINDOW, CDC_MODULUS
+    hx = _HEX2INT.format(h=f"substring(md5(substr(text, p, {w})), 1, 10)")
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
+    pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text) - {w} + 1)) AS p
+      FROM d WHERE length(text) >= {w}),
+    cuts AS (
+      SELECT doc_id, p + {w - 1} AS cut_end
+      FROM pos WHERE ({hx}) % {m} = 0),
+    cl AS (SELECT doc_id, list(cut_end) AS cl FROM cuts GROUP BY doc_id),
+    ends AS (
+      SELECT d.doc_id, d.text,
+             list_sort(list_distinct(list_append(
+               coalesce(cl.cl, []), length(d.text)))) AS e
+      FROM d LEFT JOIN cl USING (doc_id)),
+    chunks AS (
+      SELECT doc_id,
+             md5(substr(text,
+                 CASE WHEN i = 1 THEN 1 ELSE e[i-1] + 1 END,
+                 e[i] - CASE WHEN i = 1 THEN 0 ELSE e[i-1] END)) AS chunk_hash
+      FROM ends, unnest(generate_series(1, len(e))) AS u(i)),
+    pd AS (SELECT DISTINCT doc_id, chunk_hash FROM chunks),
+    hd AS (SELECT chunk_hash, count(*) AS n_docs FROM pd GROUP BY chunk_hash)
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS dup_frac
+    FROM pd JOIN hd USING (chunk_hash)
+    GROUP BY doc_id
+    """
+
+
+@register("cdc_dedup", _cdc_oracle())
+def q_cdc_dedup(spark, sf_dir):
+    s = TP.cdc_dedup_stats(read(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id", "n_chunks", "n_shared",
+        r(F.col("dup_frac")).alias("dup_frac"),
+    )
+
+
 @register(
     "doc_fingerprint",
     f"""
@@ -1289,15 +1345,6 @@ def q_jaccard_pairs(spark, sf_dir):
 # Minhash/LSH is deterministic md5 arithmetic, so it IS SQL-expressible:
 # the oracle recomputes the 16 salted min-md5 signature mins, slices 4
 # bands, and self-joins on the band bucket — exactly the engine plan.
-# DuckDB hex-string -> BIGINT (horner reduce; no float pow — md5
-# prefixes can exceed double precision)
-_HEX2INT = (
-    "list_reduce(list_transform(string_split({h}, ''), "
-    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
-    "(a, x) -> a * 16 + x)"
-)
-
-
 _MINHASH_SALTS = 16
 _MINHASH_BANDS = 4
 

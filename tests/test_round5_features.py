@@ -153,3 +153,73 @@ def test_sample_video_frames_real_decode(spark):
         if len(sub) > 1:
             assert sub.iloc[1]["frame_ts_ms"] == pytest.approx(80.0)
             assert sub.iloc[1]["motion"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (7th dedup family, round 5)
+# ---------------------------------------------------------------------------
+
+def _py_cdc_chunks(text: str, w: int = 16, m: int = 64) -> list[str]:
+    """Independent Python re-derivation of the chunking contract."""
+    import hashlib
+
+    if not text:
+        return []
+    cuts = []
+    for p in range(1, len(text) - w + 2):
+        win = text[p - 1: p - 1 + w]
+        h = int(hashlib.md5(win.encode()).hexdigest()[:10], 16)
+        if h % m == 0:
+            cuts.append(p + w - 2)  # 0-based end index
+    ends = sorted(set(cuts + [len(text) - 1]))
+    out, start = [], 0
+    for e in ends:
+        out.append(text[start: e + 1])
+        start = e + 1
+    return out
+
+
+def test_cdc_chunks_match_python_rederivation(spark):
+    rng = __import__("numpy").random.default_rng(11)
+    alphabet = "abcdefgh "
+    docs = [
+        (i, "".join(alphabet[j] for j in rng.integers(0, 9, 400)))
+        for i in range(6)
+    ] + [(6, "short"), (7, "")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = TP.cdc_chunks(df).toPandas()
+    import hashlib
+    for doc_id, text in docs:
+        expect = _py_cdc_chunks(text)
+        sub = got[got.doc_id == doc_id]
+        assert sorted(sub["chunk_hash"]) == sorted(
+            hashlib.md5(c.encode()).hexdigest() for c in expect), doc_id
+        assert int(sub["chunk_len"].sum()) == len(text)
+
+
+def test_cdc_dedup_sees_shared_fragment_exact_dedup_misses(spark):
+    """A long duplicated fragment embedded in two otherwise-different
+    docs: whole-doc hashes differ (exact dedup finds nothing) but CDC
+    chunks inside the shared fragment hash identically."""
+    rng = __import__("numpy").random.default_rng(13)
+    alphabet = "abcdefgh "
+    frag = "".join(alphabet[j] for j in rng.integers(0, 9, 600))
+    pre_a = "".join(alphabet[j] for j in rng.integers(0, 9, 120))
+    pre_b = "".join(alphabet[j] for j in rng.integers(0, 9, 57))
+    df = spark.createDataFrame(
+        [(0, pre_a + frag), (1, pre_b + frag),
+         (2, "".join(alphabet[j] for j in rng.integers(0, 9, 300)))],
+        "doc_id int, text string",
+    )
+    stats = {r["doc_id"]: r for r in TP.cdc_dedup_stats(df).collect()}
+    assert stats[0]["n_shared"] > 0 and stats[1]["n_shared"] > 0
+    assert stats[2]["n_shared"] == 0
+    # and exact dedup indeed sees three distinct docs
+    assert TP.exact_dedup(df).count() == 3
+
+
+def test_cdc_plan_no_expand_no_cartesian(spark):
+    df = spark.createDataFrame([(0, "x" * 40)], "doc_id int, text string")
+    plan = TP.cdc_dedup_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan

@@ -348,6 +348,122 @@ def doc_fingerprint(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFr
     )
 
 
+#: Content-defined chunking parameters: boundary after any 16-char
+#: window whose md5-derived 40-bit value ≡ 0 (mod 64) → ~64-char mean
+#: chunks.  Fixed-window fingerprint variant of Rabin CDC (every
+#: position is tested independently; no min/max clamp) — chosen because
+#: it is exactly reproducible in ANSI SQL, so the DuckDB oracle checks
+#: every boundary decision.
+CDC_WINDOW = 16
+CDC_MODULUS = 64
+
+
+def cdc_chunks(df: DataFrame, window: int = CDC_WINDOW,
+               modulus: int = CDC_MODULUS, id_col: str = "doc_id",
+               text: str = "text") -> DataFrame:
+    """Content-defined chunking: split each doc at content-derived
+    boundaries (md5 of the w-char window ending at the cut ≡ 0 mod m)
+    -> ``(doc_id, chunk_hash, chunk_len)``, one row per chunk.
+
+    Boundaries move with the content, so an insertion near the top of a
+    doc re-chunks only its neighborhood — duplicated *fragments* hash
+    identically across docs even when whole-doc hashes differ (the gap
+    exact_dedup cannot see).  Empty docs emit no chunks; docs shorter
+    than ``window`` are one whole-doc chunk.
+
+    Scale shape (100 TB): the position explode is O(n_chars) narrow
+    rows (the honest CDC cost — every byte is hashed once in any CDC
+    scheme); one groupBy(doc) collects cut positions (shuffle carries
+    only cut offsets, not text); chunk emission is a narrow transform
+    over the re-joined doc row.
+    """
+    d = df.select(id_col, text).where(F.length(text) >= 1)
+    win = F.col(text).substr(F.col("p"), F.lit(window))
+    cuts = (
+        d.where(F.length(text) >= window)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.length(text) - window + 1)
+            ).alias("p"),
+            F.col(text),
+        )
+        .where(
+            F.conv(F.substring(F.md5(win), 1, 10), 16, 10)
+            .cast("long") % modulus == 0
+        )
+        .select(id_col, (F.col("p") + window - 1).alias("cut_end"))
+    )
+    per_doc = cuts.groupBy(id_col).agg(
+        F.collect_list("cut_end").alias("_cl")
+    )
+    ends = d.join(per_doc, id_col, "left").select(
+        id_col,
+        F.col(text),
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce("_cl", F.array().cast("array<int>")),
+                    F.array(F.length(text)),
+                )
+            )
+        ).alias("_e"),
+    )
+    chunk = F.explode(
+        F.transform(
+            "_e",
+            lambda x, i: F.col(text).substr(
+                F.when(i == 0, F.lit(1)).otherwise(
+                    F.element_at("_e", i) + 1
+                ),
+                x - F.when(i == 0, F.lit(0)).otherwise(
+                    F.element_at("_e", i)
+                ),
+            ),
+        )
+    )
+    return ends.select(id_col, chunk.alias("_chunk")).select(
+        id_col,
+        F.md5("_chunk").alias("chunk_hash"),
+        F.length("_chunk").alias("chunk_len"),
+    )
+
+
+def cdc_dedup_stats(df: DataFrame, window: int = CDC_WINDOW,
+                    modulus: int = CDC_MODULUS,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-doc fragment-level dedup stats over CDC chunks:
+    ``(doc_id, n_chunks, n_shared, dup_frac)`` where ``n_chunks``
+    counts DISTINCT chunk hashes in the doc and ``n_shared`` those
+    appearing in ≥2 distinct docs.
+
+    Plan: distinct (doc, hash) -> groupBy(hash) doc counts (both
+    map-side partial) -> hash-join back -> groupBy(doc).  Shuffles are
+    O(distinct chunks), never O(docs²); no Expand node.
+    """
+    per_doc = cdc_chunks(df, window, modulus, id_col).select(
+        id_col, "chunk_hash"
+    ).distinct()
+    hash_docs = per_doc.groupBy("chunk_hash").agg(
+        F.count("*").alias("_n_docs")
+    )
+    shared = F.sum(
+        F.when(F.col("_n_docs") >= 2, 1).otherwise(0)
+    )
+    return (
+        per_doc.join(hash_docs, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            shared.alias("n_shared"),
+        )
+        .withColumn(
+            "dup_frac",
+            (F.col("n_shared") / F.col("n_chunks")).cast("double"),
+        )
+    )
+
+
 #: Mersenne prime 2^61−1, the minhash permutation modulus: a_i·x + b_i
 #: stays below 2^62 (a_i < 2^22, x < 2^40) — no BIGINT overflow on any
 #: engine, so the DuckDB oracle reproduces every hash bit-exactly.
