@@ -1252,6 +1252,41 @@ _HEX2INT = (
 )
 
 
+@register(
+    "contamination",
+    f"""
+    WITH t AS ({_DOC_TOKENS}),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', tokens[g], tokens[g+1], tokens[g+2],
+                       tokens[g+3], tokens[g+4]) AS shingle
+      FROM t, unnest(generate_series(1, len(tokens) - 4)) AS u(g)
+      WHERE len(tokens) >= 5),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    pd AS (
+      SELECT sh.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM sh LEFT JOIN bench b ON sh.shingle = b.shingle
+      GROUP BY sh.doc_id)
+    SELECT d.doc_id,
+           coalesce(pd.n_grams, 0) AS n_grams,
+           coalesce(pd.n_contaminated, 0) AS n_contaminated,
+           round(pd.n_contaminated * 1.0 / pd.n_grams, 6)
+             AS contamination_frac
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def q_contamination(spark, sf_dir):
+    docs = read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    c = TP.contamination_check(docs, bench, n=5)
+    return c.select(
+        "doc_id", "n_grams", "n_contaminated",
+        r(F.col("contamination_frac")).alias("contamination_frac"),
+    )
+
+
 def _cdc_oracle() -> str:
     from ts_pymfe_spark.operators.textpipe import CDC_MODULUS, CDC_WINDOW
 

@@ -223,3 +223,59 @@ def test_cdc_plan_no_expand_no_cartesian(spark):
     plan = TP.cdc_dedup_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_cdc_xxhash64_fast_path_partitions_text(spark):
+    """The scale-path hash (xxhash64, codegen-intrinsic) must produce a
+    valid partition of every doc — chunks concatenate back to the text
+    — and still see the shared fragment across docs."""
+    rng = np.random.default_rng(17)
+    alphabet = "abcdefgh "
+    frag = "".join(alphabet[j] for j in rng.integers(0, 9, 600))
+    pre = "".join(alphabet[j] for j in rng.integers(0, 9, 120))
+    df = spark.createDataFrame(
+        [(0, pre + frag), (1, frag), (2, "tiny")],
+        "doc_id int, text string",
+    )
+    chunks = TP.cdc_chunks(df, hash_fn="xxhash64").toPandas()
+    lens = chunks.groupby("doc_id")["chunk_len"].sum().to_dict()
+    assert lens == {0: 120 + 600, 1: 600, 2: 4}
+    stats = {r["doc_id"]: r for r in
+             TP.cdc_dedup_stats(df, hash_fn="xxhash64").collect()}
+    assert stats[0]["n_shared"] > 0 and stats[1]["n_shared"] > 0
+    with pytest.raises(ValueError):
+        TP.cdc_chunks(df, hash_fn="sha1")
+
+
+def test_contamination_check_hand_case(spark):
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e f g h"),      # grams: abcde bcdef cdefg defgh
+         (1, "a b c d e x y z"),      # abcde + 3 clean
+         (2, "p q r s t u"),          # 2 grams, clean
+         (3, "too short")],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e"), (101, "v w x y z")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           TP.contamination_check(corpus, bench, n=5).collect()}
+    assert (got[0]["n_grams"], got[0]["n_contaminated"]) == (4, 1)
+    assert got[0]["contamination_frac"] == pytest.approx(0.25)
+    assert (got[1]["n_grams"], got[1]["n_contaminated"]) == (4, 1)
+    assert (got[2]["n_grams"], got[2]["n_contaminated"]) == (2, 0)
+    assert (got[3]["n_grams"], got[3]["n_contaminated"]) == (0, 0)
+    assert got[3]["contamination_frac"] is None
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame(
+        [(i, "w%d x y z q r s t" % i) for i in range(20)],
+        "doc_id int, text string")
+    bench = corpus.limit(2)
+    plan = (
+        TP.contamination_check(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
