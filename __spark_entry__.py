@@ -1252,6 +1252,58 @@ _HEX2INT = (
 )
 
 
+def _pii_oracle() -> str:
+    # The synthetic corpus contains no organic PII, which would make
+    # this oracle vacuous — so BOTH sides deterministically append a
+    # PII-bearing suffix to every 7th doc before scanning, making the
+    # detectors and the ordered redaction live on every run.
+    e = TP.PII_EMAIL_RE.replace("'", "''")
+    i = TP.PII_IPV4_RE.replace("'", "''")
+    p = TP.PII_PHONE_RE.replace("'", "''")
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0 THEN
+               ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com ip 10.0.0.'
+               || CAST(doc_id % 256 AS VARCHAR)
+               || ' tel +1 (555) 123-4567' ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{e}')) AS n_emails,
+           len(regexp_extract_all(text, '{i}')) AS n_ips,
+           len(regexp_extract_all(text, '{p}')) AS n_phones,
+           (len(regexp_extract_all(text, '{e}'))
+            + len(regexp_extract_all(text, '{i}'))
+            + len(regexp_extract_all(text, '{p}'))) > 0 AS has_pii,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+             text, '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'),
+             '{p}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """
+
+
+@register("pii_scrub", _pii_oracle())
+def q_pii_scrub(spark, sf_dir):
+    docs = read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com ip 10.0.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(" tel +1 (555) 123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return TP.pii_scrub(docs)
+
+
 @register(
     "contamination",
     f"""

@@ -279,3 +279,28 @@ def test_contamination_broadcasts_benchmark(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pii_scrub_hand_case(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(0, "write to alice.smith+x@sub.example.org or bob@ex.io now"),
+         (1, "server at 192.168.0.1 and 10.0.0.255, call +1 (555) 123-4567"),
+         (2, "clean text with just words"),
+         (3, "almost-an-ip 999.999 and not@anemail")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in TP.pii_scrub(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_phones"]) == (2, 0, 0)
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (0, 2, 1)
+    assert got[1]["has_pii"] and not got[2]["has_pii"]
+    assert (got[3]["n_emails"], got[3]["n_ips"]) == (0, 0)
+    # redaction parity: ordered replace reproduced in plain Python re
+    import re as _re
+    t1 = df.collect()[1]["text"]
+    red = _re.sub(TP.PII_PHONE_RE, "<PHONE>",
+          _re.sub(TP.PII_IPV4_RE, "<IP>",
+          _re.sub(TP.PII_EMAIL_RE, "<EMAIL>", t1)))
+    assert got[1]["redacted_md5"] == hashlib.md5(red.encode()).hexdigest()
+    assert "<IP>" in red and "<PHONE>" in red

@@ -479,6 +479,47 @@ def cdc_dedup_stats(df: DataFrame, window: int = CDC_WINDOW,
     )
 
 
+#: PII detector patterns (lookahead-free, explicit classes — same bytes
+#: run on Java regex and RE2, like BPE_PRETOKEN_RE above).  Deliberately
+#: simple/deterministic: the operator contract is the Spark plumbing +
+#: cross-engine reproducibility, not NLP-grade recall.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text: str = "text") -> DataFrame:
+    """PII screen + redaction for a training corpus:
+    ``(doc_id, n_emails, n_ips, n_phones, has_pii, redacted_md5)``.
+
+    Counts are non-overlapping matches per detector; ``redacted_md5``
+    hashes the text after replacing matches with ``<EMAIL>``/``<IP>``/
+    ``<PHONE>`` in that fixed order (emails first — they contain
+    digits; then IPs — dotted digits would otherwise feed the phone
+    detector; phones last).  Narrow per-row map, no shuffle, no UDF.
+    """
+    c = F.col(text)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>",
+        ),
+        PII_PHONE_RE, "<PHONE>",
+    )
+    return df.select(
+        id_col,
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_ips + n_phones) > 0).alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 def contamination_check(corpus: DataFrame, benchmark: DataFrame,
                         n: int = 5, id_col: str = "doc_id",
                         text: str = "text") -> DataFrame:
