@@ -1252,6 +1252,45 @@ _HEX2INT = (
 )
 
 
+def _filter_corpus_oracle() -> str:
+    e = TP.PII_EMAIL_RE.replace("'", "''")
+    i = TP.PII_IPV4_RE.replace("'", "''")
+    p = TP.PII_PHONE_RE.replace("'", "''")
+    return f"""
+    WITH t AS ({_DOC_TOKENS}),
+    q AS (
+      SELECT doc_id, len(tokens) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+               / length(text) AS alpha_ratio
+      FROM t),
+    pii AS (
+      SELECT doc_id,
+             (len(regexp_extract_all(text, '{e}'))
+              + len(regexp_extract_all(text, '{i}'))
+              + len(regexp_extract_all(text, '{p}'))) > 0 AS has_pii
+      FROM documents),
+    k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+          FROM documents GROUP BY md5(text)),
+    d AS (SELECT doc_id, md5(text) AS h FROM documents),
+    f AS (SELECT d.doc_id, (d.doc_id != k.keep_id) AS dup
+          FROM d JOIN k USING (h)),
+    r AS (
+      SELECT q.doc_id,
+        CASE WHEN q.n_tokens < 5 THEN 'short'
+             WHEN q.alpha_ratio < 0.5 THEN 'low_alpha'
+             WHEN pii.has_pii THEN 'pii'
+             WHEN f.dup THEN 'exact_dup'
+             ELSE 'kept' END AS reason
+      FROM q JOIN pii USING (doc_id) JOIN f USING (doc_id))
+    SELECT doc_id, reason = 'kept' AS keep, reason FROM r
+    """
+
+
+@register("filter_corpus", _filter_corpus_oracle())
+def q_filter_corpus(spark, sf_dir):
+    return TP.filter_corpus(read(spark, sf_dir, "documents"))
+
+
 def _pii_oracle() -> str:
     # The synthetic corpus contains no organic PII, which would make
     # this oracle vacuous — so BOTH sides deterministically append a

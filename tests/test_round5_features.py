@@ -304,3 +304,21 @@ def test_pii_scrub_hand_case(spark):
           _re.sub(TP.PII_EMAIL_RE, "<EMAIL>", t1)))
     assert got[1]["redacted_md5"] == hashlib.md5(red.encode()).hexdigest()
     assert "<IP>" in red and "<PHONE>" in red
+
+
+def test_filter_corpus_rule_precedence(spark):
+    df = spark.createDataFrame(
+        [(0, "a good long english document with many proper words here"),
+         (1, "dup text that is long enough to pass quality checks fine"),
+         (2, "dup text that is long enough to pass quality checks fine"),
+         (3, "shorty"),
+         (4, "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6"),            # low alpha
+         (5, "long enough text but mail me at a.b@example.com today ok"),
+         (6, "short + pii x@y.io")],                          # short wins
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["reason"] for r in TP.filter_corpus(df).collect()}
+    assert got == {0: "kept", 1: "kept", 2: "exact_dup", 3: "short",
+                   4: "low_alpha", 5: "pii", 6: "short"}
+    kept = {r["doc_id"] for r in TP.filter_corpus(df).collect() if r["keep"]}
+    assert kept == {0, 1}

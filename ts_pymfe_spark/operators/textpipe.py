@@ -479,6 +479,55 @@ def cdc_dedup_stats(df: DataFrame, window: int = CDC_WINDOW,
     )
 
 
+def filter_corpus(df: DataFrame, min_tokens: int = 5,
+                  min_alpha_ratio: float = 0.5,
+                  id_col: str = "doc_id",
+                  text: str = "text") -> DataFrame:
+    """The composed keep/drop decision a pretraining pipeline runs over
+    every document -> ``(doc_id, keep, reason)``.
+
+    Rules in fixed precedence (first failing rule names the reason):
+      1. ``short``      — fewer than ``min_tokens`` whitespace tokens
+      2. ``low_alpha``  — alpha-char ratio below ``min_alpha_ratio``
+      3. ``pii``        — any email/IPv4/phone detector fires
+      4. ``exact_dup``  — content hash seen on a lower doc_id
+      5. ``kept``
+    Deterministic: the duplicate survivor is the min-id doc, matching
+    ``exact_dedup``.
+
+    Scale shape (100 TB): rules 1-3 are narrow per-row expressions;
+    rule 4 reuses the exact-dedup aggregate (shuffle O(distinct
+    hashes)) joined back on the content hash — the only exchange in
+    the plan, and the join key is the md5 so it is uniform by
+    construction (no skew).
+    """
+    q = quality_score(df, id_col)
+    p = pii_scrub(df, id_col, text)
+    keepers = (
+        df.select(id_col, F.md5(text).alias("_h"))
+        .groupBy("_h").agg(F.min(id_col).alias("_keep_id"))
+    )
+    flags = (
+        df.select(id_col, F.md5(text).alias("_h"))
+        .join(keepers, "_h")
+        .select(id_col, (F.col(id_col) != F.col("_keep_id")).alias("_dup"))
+        .join(q.select(id_col, "n_tokens", "alpha_ratio"), id_col)
+        .join(p.select(id_col, "has_pii"), id_col)
+    )
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "short")
+        .when(F.col("alpha_ratio") < min_alpha_ratio, "low_alpha")
+        .when(F.col("has_pii"), "pii")
+        .when(F.col("_dup"), "exact_dup")
+        .otherwise("kept")
+    )
+    return flags.select(
+        id_col,
+        (reason == "kept").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 #: PII detector patterns (lookahead-free, explicit classes — same bytes
 #: run on Java regex and RE2, like BPE_PRETOKEN_RE above).  Deliberately
 #: simple/deterministic: the operator contract is the Spark plumbing +
