@@ -129,7 +129,7 @@ def run_headline(spark) -> dict[str, float]:
         "moving_sd_shift", "tile_stats", "acf_lags", "trev", "tc3",
         "hist_entropy", "ami_lag1", "gapfill_1m", "t_mean", "fs_len_stats",
         "exact_dedup", "token_stats", "bpe_token_stats", "ngram_topk",
-        "doc_fingerprint", "minhash_lsh_candidates",
+        "cdc_dedup", "doc_fingerprint", "minhash_lsh_candidates",
         "ann_topk", "ann_lsh",
     ]
     qs = E.queries()

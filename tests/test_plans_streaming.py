@@ -615,3 +615,110 @@ def test_stream_store_compaction_exactly_once(spark, turns, tmp_path):
     # the marker is monotone
     with _pytest.raises(ValueError):
         compact_stream_store(spark, store, compact, "1m", days[0])
+
+
+def test_dedup_stream_first_arrival_across_microbatches(spark, tmp_path):
+    """Streaming exact dedup: across microbatches, exactly one output
+    row per distinct md5(text), and the survivor is the FIRST-ARRIVED
+    doc (the only rule with O(1) state per key)."""
+    import datetime as dt
+    import time
+
+    from ts_pymfe_spark.streaming.dedup_stream import (
+        DOC_STREAM_SCHEMA,
+        dedup_stream,
+        stream_docs,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def row(i, txt, sec):
+        return (i, txt, t0 + dt.timedelta(seconds=sec))
+
+    in_dir = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "docs_ckpt")
+    b1 = spark.createDataFrame(
+        [row(1, "aaa", 0), row(2, "bbb", 60)], DOC_STREAM_SCHEMA
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    b2 = spark.createDataFrame(
+        [row(3, "aaa", 120), row(4, "ccc", 180), row(5, "bbb", 240)],
+        DOC_STREAM_SCHEMA,
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    out = dedup_stream(stream_docs(spark, in_dir), watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_docs")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.table("dedup_docs").orderBy("doc_id").toPandas()
+    # one row per distinct content; survivors are first arrivals
+    assert got["doc_id"].tolist() == [1, 2, 4]
+    assert sorted(got["text"].tolist()) == ["aaa", "bbb", "ccc"]
+
+
+def test_dedup_stream_watermark_bounds_state(spark, tmp_path):
+    """The state store is bounded by the watermark horizon: once the
+    event-time watermark passes a key's expiry, the key is evicted and
+    the same content RE-EMITS — proving state is O(distinct content in
+    horizon), not O(stream history).  Timing detail: the watermark a
+    batch runs with comes from the PREVIOUS batch's max event time, and
+    expired state is swept lazily at batch end — so after the
+    watermark-advancing filler batch, one more batch must pass before a
+    re-arrival of the same content finds the state evicted."""
+    import datetime as dt
+    import time
+
+    from ts_pymfe_spark.streaming.dedup_stream import (
+        DOC_STREAM_SCHEMA,
+        dedup_stream,
+        stream_docs,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def row(i, txt, sec):
+        return (i, txt, t0 + dt.timedelta(seconds=sec))
+
+    in_dir = str(tmp_path / "evict_in")
+    ckpt = str(tmp_path / "evict_ckpt")
+    # batch 1: "aaa" enters state (expiry t0 + 10 min)
+    b1 = spark.createDataFrame([row(1, "aaa", 0)], DOC_STREAM_SCHEMA)
+    b1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    time.sleep(1.1)
+    # batch 2: filler 1 h later -> the NEXT batch runs with watermark
+    # t0 + 50 min > expiry
+    b2 = spark.createDataFrame([row(2, "filler", 3600)], DOC_STREAM_SCHEMA)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)
+    # batch 3: runs with the advanced watermark; its end-of-batch sweep
+    # evicts "aaa"
+    b3 = spark.createDataFrame([row(3, "filler2", 3700)], DOC_STREAM_SCHEMA)
+    b3.coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)
+    # batch 4: "aaa" again -> state gone -> re-emitted
+    b4 = spark.createDataFrame([row(4, "aaa", 3800)], DOC_STREAM_SCHEMA)
+    b4.coalesce(1).write.mode("append").parquet(in_dir)
+
+    out = dedup_stream(stream_docs(spark, in_dir), watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_docs")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.table("evict_docs").orderBy("doc_id").toPandas()
+    assert got["doc_id"].tolist() == [1, 2, 3, 4]
+    assert got["text"].tolist() == ["aaa", "filler", "filler2", "aaa"]
