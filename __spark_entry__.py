@@ -1291,6 +1291,54 @@ def q_filter_corpus(spark, sf_dir):
     return TP.filter_corpus(read(spark, sf_dir, "documents"))
 
 
+@register(
+    "repetition_stats",
+    f"""
+    WITH base AS (SELECT doc_id, len(text) AS n_chars FROM documents),
+    l AS (
+      SELECT doc_id, u.line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+            FROM documents), unnest(ls) AS u(line)
+      WHERE u.line != ''),
+    pl AS (SELECT doc_id, line, count(*) AS c FROM l
+           GROUP BY doc_id, line),
+    ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+             sum(c - 1) * 1.0 / sum(c) AS dlf,
+             sum((c - 1) * length(line)) * 1.0
+               / sum(c * length(line)) AS dlcf
+           FROM pl GROUP BY doc_id),
+    t AS ({_DOC_TOKENS}),
+    g AS (SELECT doc_id, concat_ws(' ', tokens[i], tokens[i+1]) AS g
+          FROM t, unnest(generate_series(1, len(tokens) - 1)) AS u(i)
+          WHERE len(tokens) >= 2),
+    pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    tg AS (SELECT doc_id, c * length(g) AS top_chars,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, g ASC) AS rn
+           FROM pg)
+    SELECT b.doc_id,
+           coalesce(n_lines, 0) AS n_lines,
+           round(coalesce(dlf, 0), 6) AS dup_line_frac,
+           round(coalesce(dlcf, 0), 6) AS dup_line_char_frac,
+           round(coalesce(top_chars * 1.0 / b.n_chars, 0), 6)
+             AS top2gram_char_frac
+    FROM base b
+    LEFT JOIN ls USING (doc_id)
+    LEFT JOIN (SELECT doc_id, top_chars FROM tg WHERE rn = 1)
+      USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark, sf_dir):
+    t = TP.repetition_stats(read(spark, sf_dir, "documents"))
+    return t.select(
+        "doc_id",
+        "n_lines",
+        r(F.col("dup_line_frac")).alias("dup_line_frac"),
+        r(F.col("dup_line_char_frac")).alias("dup_line_char_frac"),
+        r(F.col("top2gram_char_frac")).alias("top2gram_char_frac"),
+    )
+
+
 def _pii_oracle() -> str:
     # The synthetic corpus contains no organic PII, which would make
     # this oracle vacuous — so BOTH sides deterministically append a

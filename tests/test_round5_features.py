@@ -322,3 +322,60 @@ def test_filter_corpus_rule_precedence(spark):
                    4: "low_alpha", 5: "pii", 6: "short"}
     kept = {r["doc_id"] for r in TP.filter_corpus(df).collect() if r["keep"]}
     assert kept == {0, 1}
+
+
+def test_repetition_stats_hand_case(spark):
+    # doc 0: 4 non-empty lines ("x" twice, "yy", "" skipped, "zzz");
+    #   dup_line_frac = (4-3)/4; dup_line_char_frac = surplus "x" char /
+    #   (1+1+2+3) = 1/7; top 2-gram of tokens [x, yy, x, zzz] is every
+    #   gram once -> tie broken lexicographically: "x yy" (count 1,
+    #   4 chars) over "x zzz", "yy x"; text length 11 ("x\nyy\nx\n\nzzz")
+    # doc 1: one line, "a b a b a" -> "a b" count 2 beats "b a" count 2
+    #   on the tie; top chars = 2*3=6 over 9 chars
+    # doc 2: empty-ish doc (only a newline) -> all zeros
+    docs = spark.createDataFrame(
+        [(0, "x\nyy\nx\n\nzzz"), (1, "a b a b a"), (2, "\n")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in TP.repetition_stats(docs).collect()}
+    assert len(got) == 3
+    assert got[0]["n_lines"] == 4
+    assert got[0]["dup_line_frac"] == pytest.approx(1 / 4)
+    assert got[0]["dup_line_char_frac"] == pytest.approx(1 / 7)
+    assert got[0]["top2gram_char_frac"] == pytest.approx(4 / 11)
+    assert got[1]["n_lines"] == 1
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[1]["top2gram_char_frac"] == pytest.approx(6 / 9)
+    assert got[2]["n_lines"] == 0
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_char_frac"] == 0.0
+    assert got[2]["top2gram_char_frac"] == 0.0
+
+
+def test_repetition_stats_prefix_gram_tiebreak(spark):
+    # regression for the argmax tie-break: "a b" and "a bc" both occur
+    # once; the lexicographically smaller "a b" must win even though it
+    # is a prefix of the other (struct min on (-count, gram) handles
+    # this; a negated-char-code array encoding would not)
+    docs = spark.createDataFrame(
+        [(0, "a bc a b")],  # grams: "a bc", "bc a", "a b"
+        "doc_id int, text string",
+    )
+    row = TP.repetition_stats(docs).collect()[0]
+    # winner "a b": 1 occurrence x 3 chars over 8 text chars
+    assert row["top2gram_char_frac"] == pytest.approx(3 / 8)
+
+
+def test_repetition_stats_plan_no_expand_no_window(spark):
+    """The per-doc argmax must ride the aggregation (min on a struct),
+    not a window function, and the two-stage n-gram agg must not plan
+    an Expand: the only exchanges are the two (doc,key) groupBys and
+    the per-doc joins on already-reduced rows."""
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "x\ny")], "doc_id int, text string"
+    )
+    plan = TP.repetition_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

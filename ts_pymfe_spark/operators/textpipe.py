@@ -1139,3 +1139,87 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition filters (Rae et al. 2021,
+    App. A1.1 — the standard web-corpus repetition screen):
+    ``(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top2gram_char_frac)``.
+
+    Exact definitions (deterministic, oracle-able):
+      * lines = non-empty ``\\n``-split segments;
+      * ``dup_line_frac`` = occurrences beyond each line's first /
+        total lines;
+      * ``dup_line_char_frac`` = chars in those surplus occurrences /
+        chars in all lines;
+      * ``top2gram_char_frac`` = (count x chars) of the most frequent
+        word 2-gram / length(text), ties broken lexicographically,
+        0.0 when the doc has < 2 tokens.
+    All fractions are 0.0 for degenerate docs (no lines / no grams) so
+    every input doc emits exactly one row.
+
+    Scale shape (100 TB): two independent narrow explodes (lines,
+    2-grams) each reduced by a map-side-partial groupBy keyed
+    (doc, line/gram) then (doc) — shuffle is O(distinct per doc), never
+    O(corpus); the per-doc top gram rides the same aggregation as a
+    max_by struct, no window function, no second exchange; the final
+    assembly is two hash joins back on the already-unique doc_id.
+    """
+    base = df.select(id_col, F.length(text).alias("_n_chars"))
+    lines = df.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.col(text), "\n"), lambda s: s != "")
+        ).alias("_line"),
+    )
+    per_line = lines.groupBy(id_col, "_line").agg(
+        F.count("*").alias("_c")
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("_c").alias("n_lines"),
+        (F.sum(F.col("_c") - 1) / F.sum("_c")).alias("dup_line_frac"),
+        (
+            F.sum((F.col("_c") - 1) * F.length("_line"))
+            / F.sum(F.col("_c") * F.length("_line"))
+        ).alias("dup_line_char_frac"),
+    )
+    t = with_tokens(df, text).filter(F.size("tokens") >= 2)
+    grams = t.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tokens") - 2),
+                lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, 2)),
+            )
+        ).alias("_g"),
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+    # deterministic argmax without a window: min() on a struct ordered
+    # (-count, gram) = count desc then gram asc — rides the same
+    # aggregation exchange instead of adding a sort
+    top = per_gram.groupBy(id_col).agg(
+        F.min(
+            F.struct((-F.col("_c")).alias("_nc"), F.col("_g"))
+        ).alias("_top")
+    ).select(
+        id_col,
+        (-F.col("_top._nc") * F.length("_top._g")).alias("_top_chars"),
+    )
+    z = F.lit(0.0)
+    return (
+        base.join(line_stats, id_col, "left")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("dup_line_frac", z).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", z).alias(
+                "dup_line_char_frac"
+            ),
+            F.coalesce(
+                F.col("_top_chars") / F.col("_n_chars"), z
+            ).alias("top2gram_char_frac"),
+        )
+    )
