@@ -1581,6 +1581,37 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def _dedup_clusters_oracle() -> str:
+    # transitive closure of the candidate graph by recursive CTE — the
+    # SQL mirror of graph.connected_components' min-id fixpoint (both
+    # deterministic, so cluster assignment hash-compares exactly)
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
+@register("dedup_clusters", _dedup_clusters_oracle())
+def q_dedup_clusters(spark, sf_dir):
+    return TP.dedup_clusters(
+        read(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_SALTS, bands=_MINHASH_BANDS,
+    )
+
+
 # SimHash is deterministic too: token -> md5 -> 60-bit int (15 hex
 # chars), per-bit ±1 vote, sign -> bit.  The oracle rebuilds the hex
 # value with an exact BIGINT horner reduce (no float pow — 60 bits

@@ -379,3 +379,79 @@ def test_repetition_stats_plan_no_expand_no_window(spark):
     assert "Expand" not in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters: distributed connected components over LSH candidates
+# ---------------------------------------------------------------------------
+
+def test_connected_components_hand_graph(spark):
+    """Two chains and an isolated edge: comp = min node id, computed by
+    hand.  {1-2-3-4}, {10-11}, {20-21-22} (triangle-ish with a chord)."""
+    from ts_pymfe_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["comp"]
+           for r in connected_components(edges, "src", "dst").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path is the worst case for plain propagation (O(d)
+    rounds); pointer jumping must still close it within max_iter and
+    label every node with the chain head."""
+    from ts_pymfe_spark.operators.graph import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = connected_components(edges, "src", "dst", max_iter=12).collect()
+    assert len(got) == n + 1
+    assert all(r["comp"] == 0 for r in got)
+
+
+def test_connected_components_self_loops_dropped(spark):
+    from ts_pymfe_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 5), (7, 8)], "src long, dst long"
+    )
+    got = {r["node"]: r["comp"]
+           for r in connected_components(edges, "src", "dst").collect()}
+    # node 5 only self-loops -> absent (caller joins back for singletons)
+    assert got == {7: 7, 8: 7}
+
+
+def test_dedup_clusters_keep_and_singletons(spark):
+    """End-to-end on a tiny corpus: two exact near-dup pairs that chain
+    into one cluster via a shared middle doc, plus an unrelated doc.
+    Every input doc appears exactly once; keep marks min-id per
+    cluster; singletons keep themselves."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (100, base),
+            (101, base),  # exact dup of 100
+            (102, base + " extra"),  # near-dup of both
+            (500, "completely different content with no shared shingles at all zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in TP.dedup_clusters(docs, num_hashes=16, bands=8).collect()}
+    assert set(got) == {100, 101, 102, 500}
+    # 100/101 are identical -> identical signatures -> same cluster
+    assert got[100] == (100, True)
+    assert got[101] == (100, False)
+    assert got[500] == (500, True)
+    # survivors: exactly one keep=True per distinct cluster_id
+    clusters = {}
+    for doc, (cid, keep) in got.items():
+        clusters.setdefault(cid, []).append(keep)
+    for cid, keeps in clusters.items():
+        assert sum(keeps) == 1

@@ -1223,3 +1223,46 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
             ).alias("top2gram_char_frac"),
         )
     )
+
+
+def dedup_clusters(df: DataFrame, n: int = 3, num_hashes: int = 16,
+                   bands: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup clustering — the step after candidate generation (Lee
+    et al. 2022): connected components over the minhash-LSH candidate
+    graph -> ``(doc_id, cluster_id, keep)`` for EVERY input doc, where
+    ``cluster_id`` is the min doc id in the doc's duplicate cluster
+    (itself for singletons) and ``keep`` marks the one survivor per
+    cluster.
+
+    Deterministic end to end (md5 minhash + min-id components), so the
+    whole composition — signatures, banding, clustering — is
+    oracle-able in SQL (recursive-CTE transitive closure on the DuckDB
+    side).
+
+    Scale shape (100 TB): candidate generation is the banded hash join
+    (shuffle O(docs x bands), no cartesian — textpipe plan audits);
+    clustering is O(log d) rounds of O(candidate-edge) shuffles
+    (operators/graph.py), and candidate edges are a tiny fraction of
+    the corpus; the final singleton join is a left join on the unique
+    doc id.
+    """
+    from .graph import connected_components
+
+    pairs = minhash_lsh_candidates(df, n, num_hashes, bands, id_col)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        df.select(id_col)
+        .join(
+            cc.select(
+                F.col("node").alias(id_col),
+                F.col("comp").alias("cluster_id"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
