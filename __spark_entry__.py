@@ -1981,11 +1981,11 @@ def q_emb_label_stats(spark, sf_dir):
 # buckets from md5-derived hyperplanes -> multi-probe (exact bucket +
 # all 1-bit flips on the id_a side, round 3) -> within-bucket cosine
 # filter.  The oracle re-derives the probe expansion with the same
-# string surgery, so the contract stays exact at radius 1.
-@register(
-    "emb_neardup",
-    f"""
-    WITH pl AS (
+# string surgery, so the contract stays exact at radius 1.  The CTE
+# body is shared with the semantic_dedup oracle (clusters over the
+# same candidate pairs).
+def _emb_pairs_ctes() -> str:
+    return f"""pl AS (
       SELECT pp, list_transform(generate_series(0, 63), j ->
         ({_HEX2INT.format(h="substring(md5('plane' || pp || ':' || j), 1, 8)")}
          / 4294967296.0) * 2.0 - 1.0) AS w
@@ -2014,7 +2014,13 @@ def q_emb_label_stats(spark, sf_dir):
       FROM probes a JOIN sig b ON a.bucket = b.bucket
                                AND a.vec_id < b.vec_id
       JOIN e ea ON ea.vec_id = a.vec_id
-      JOIN e eb ON eb.vec_id = b.vec_id)
+      JOIN e eb ON eb.vec_id = b.vec_id)"""
+
+
+@register(
+    "emb_neardup",
+    f"""
+    WITH {_emb_pairs_ctes()}
     SELECT id_a, id_b, round(cos, 6) + 0.0 AS cos
     FROM pairs WHERE cos >= 0.3
     """,
@@ -2027,6 +2033,141 @@ def q_emb_neardup(spark, sf_dir):
     return out.select(
         "id_a", "id_b", (r(F.col("cos")) + F.lit(0.0)).alias("cos")
     )
+
+
+def _semantic_dedup_oracle() -> str:
+    # transitive closure over the embedding near-dup candidate graph —
+    # same recursive-CTE mirror as _dedup_clusters_oracle, over the
+    # shared emb-pairs CTE body
+    return f"""
+    WITH RECURSIVE {_emb_pairs_ctes()},
+    cand AS (SELECT id_a, id_b FROM pairs WHERE cos >= 0.3),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+    comp AS (
+      SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a)
+    SELECT v.vec_id,
+           coalesce(c.cluster_id, v.vec_id) AS cluster_id,
+           coalesce(c.cluster_id, v.vec_id) = v.vec_id AS keep
+    FROM embeddings v LEFT JOIN comp c USING (vec_id)
+    """
+
+
+@register("semantic_dedup", _semantic_dedup_oracle())
+def q_semantic_dedup(spark, sf_dir):
+    return TP.semantic_dedup_clusters(
+        read(spark, sf_dir, "embeddings"), threshold=0.3, dim=64,
+        probe_radius=1,
+    )
+
+
+# deterministic stratified hash sampling: md5-uniform per doc_id vs a
+# per-language rate table.  The whole operator is a broadcast-joined
+# narrow filter (zero shuffles) and the sample is a pure function of
+# doc_id — identical at any parallelism, which is what the oracle
+# checks ('zh' absent from the rate table -> dropped).
+_SAMP_U = (
+    "({h} / 1152921504606846976.0)"  # top 60 md5 bits -> [0, 1)
+)
+
+
+def _samp_u_sql(salt: str, idexpr: str) -> str:
+    return _SAMP_U.format(
+        h=_HEX2INT.format(
+            h=f"substring(md5('samp{salt}:' || {idexpr}), 1, 15)"
+        )
+    )
+
+
+@register(
+    "sample_corpus",
+    f"""
+    WITH rates(lang, rate) AS (VALUES
+      ('en', 0.5), ('de', 0.9), ('fr', 0.25), ('es', 1.0))
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN rates USING (lang)
+    WHERE {_samp_u_sql('', 'd.doc_id')} < rate
+    """,
+)
+def q_sample_corpus(spark, sf_dir):
+    rates = spark.createDataFrame(
+        [("en", 0.5), ("de", 0.9), ("fr", 0.25), ("es", 1.0)],
+        "lang string, rate double",
+    )
+    return TP.sample_corpus(
+        read(spark, sf_dir, "documents"), rates, strata_col="lang"
+    ).select("doc_id", "lang", "n_chars")
+
+
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.5}
+_MIX_BUDGET = 20000
+
+
+def _mix_case() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items()
+    )
+    return f"(CASE source {whens} ELSE 0.0 END)"
+
+
+def _mix_rates_sql() -> str:
+    # avail cast to BIGINT: DuckDB's sum(BIGINT) is HUGEINT, which
+    # pandas would surface as a different dtype kind than Spark's long
+    return f"""
+    SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail,
+           {_MIX_BUDGET}.0 * {_mix_case()} AS target
+    FROM documents GROUP BY source
+    """
+
+
+@register(
+    "mixture_rates",
+    f"""
+    SELECT source, avail, round(target, 6) + 0.0 AS target,
+           round(least(1.0, target / avail), 6) + 0.0 AS rate
+    FROM ({_mix_rates_sql()})
+    """,
+)
+def q_mixture_rates(spark, sf_dir):
+    out = TP.mixture_rates(
+        read(spark, sf_dir, "documents"), _MIX_WEIGHTS, _MIX_BUDGET,
+        strata_col="source",
+    )
+    return out.select(
+        "source", "avail",
+        (r(F.col("target")) + F.lit(0.0)).alias("target"),
+        (r(F.col("rate")) + F.lit(0.0)).alias("rate"),
+    )
+
+
+# the composition a mixing pipeline actually runs: token-budget rates
+# computed from the corpus itself, then the deterministic hash sample
+# at those (unrounded) rates — exact on both engines because avail is
+# an integer sum and the rate arithmetic is identical double ops.
+@register(
+    "mixture_sample",
+    f"""
+    WITH rates AS ({_mix_rates_sql()}),
+    rr AS (SELECT source, least(1.0, target / avail) AS rate FROM rates)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rr USING (source)
+    WHERE {_samp_u_sql('mix', 'd.doc_id')} < rate
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    docs = read(spark, sf_dir, "documents")
+    rates = TP.mixture_rates(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, strata_col="source"
+    ).select("source", "rate")
+    return TP.sample_corpus(
+        docs, rates, strata_col="source", salt="mix"
+    ).select("doc_id", "source")
 
 
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson

@@ -455,3 +455,70 @@ def test_dedup_clusters_keep_and_singletons(spark):
         clusters.setdefault(cid, []).append(keep)
     for cid, keeps in clusters.items():
         assert sum(keeps) == 1
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling + mixture rates
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "lang%d" % (i % 3), 100 + (i % 7) * 10)
+            for i in range(300)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"
+    ).cache()
+
+
+def test_sample_corpus_partition_invariant(spark, corpus):
+    """The sample is a pure function of doc_id: repartitioning must not
+    change the selected set (Spark's own df.sample is partition-seeded
+    and fails this)."""
+    rates = spark.createDataFrame(
+        [("lang0", 0.4), ("lang1", 0.7)], "lang string, rate double"
+    )
+    a = {r["doc_id"] for r in TP.sample_corpus(corpus, rates).collect()}
+    b = {r["doc_id"]
+         for r in TP.sample_corpus(corpus.repartition(17), rates).collect()}
+    assert a == b and len(a) > 0
+    # lang2 absent from the rate table -> dropped entirely
+    assert not any(i % 3 == 2 for i in a)
+
+
+def test_sample_corpus_rates_nest(spark, corpus):
+    """u < rate sampling is nested: raising a stratum's rate only adds
+    docs — the property that lets a pipeline grow a sample without
+    resampling everything."""
+    lo = spark.createDataFrame([("lang0", 0.3)], "lang string, rate double")
+    hi = spark.createDataFrame([("lang0", 0.8)], "lang string, rate double")
+    a = {r["doc_id"] for r in TP.sample_corpus(corpus, lo).collect()}
+    b = {r["doc_id"] for r in TP.sample_corpus(corpus, hi).collect()}
+    assert a <= b and len(a) < len(b)
+
+
+def test_sample_corpus_plan_narrow(spark, corpus):
+    """Zero shuffles: the rate table rides a broadcast join, the filter
+    is a narrow map — at 100 TB this operator never exchanges the
+    corpus."""
+    rates = spark.createDataFrame(
+        [("lang0", 0.5)], "lang string, rate double"
+    )
+    plan = TP.sample_corpus(corpus, rates)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    import re
+    assert not re.search(r"Exchange (hash|range)partitioning", plan)
+
+
+def test_mixture_rates_hand_case(spark):
+    """Budget 1000 chars at weights {a: .75, b: .25} over avail
+    {a: 500, b: 1000}: a -> min(1, 750/500) = 1.0, b -> 250/1000 = .25."""
+    docs = spark.createDataFrame(
+        [(0, "a", 200), (1, "a", 300), (2, "b", 1000), (3, "c", 50)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {r["source"]: r for r in TP.mixture_rates(
+        docs, {"a": 0.75, "b": 0.25}, 1000).collect()}
+    assert got["a"]["avail"] == 500 and got["a"]["rate"] == 1.0
+    assert got["b"]["target"] == 250.0 and got["b"]["rate"] == 0.25
+    assert got["c"]["rate"] == 0.0  # unweighted stratum

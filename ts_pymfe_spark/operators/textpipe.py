@@ -1250,6 +1250,16 @@ def dedup_clusters(df: DataFrame, n: int = 3, num_hashes: int = 16,
 
     pairs = minhash_lsh_candidates(df, n, num_hashes, bands, id_col)
     cc = connected_components(pairs, "doc_a", "doc_b")
+    return _attach_clusters(df, cc, id_col)
+
+
+def _attach_clusters(df: DataFrame, cc: DataFrame,
+                     id_col: str) -> DataFrame:
+    """Left-join component labels back onto the full entity table:
+    every input id gets a row, singletons cluster to themselves, and
+    ``keep`` marks the min-id survivor of each cluster.  The join side
+    is O(clustered nodes) — a small fraction of the corpus for any
+    sane near-dup rate."""
     return (
         df.select(id_col)
         .join(
@@ -1265,4 +1275,90 @@ def dedup_clusters(df: DataFrame, n: int = 3, num_hashes: int = 16,
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def semantic_dedup_clusters(df: DataFrame, threshold: float = 0.3,
+                            num_planes: int = 8, dim: int | None = None,
+                            id_col: str = "vec_id",
+                            emb: str = "embedding",
+                            probe_radius: int = 1) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup clustering: connected
+    components over ``embedding_neardup_pairs`` -> one survivor per
+    semantic cluster — the SemDeDup-style step (Abbas et al. 2023)
+    composed from the engine's own LSH candidate generator.
+
+    Same contract as ``dedup_clusters``: (id, cluster_id, keep) for
+    every input row, deterministic end to end (md5 hyperplanes +
+    min-id components), recursive-CTE oracle-able.
+    """
+    from .graph import connected_components
+
+    pairs = embedding_neardup_pairs(
+        df, threshold, num_planes, dim, id_col, emb, probe_radius
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return _attach_clusters(df, cc, id_col)
+
+
+def _unit_uniform(id_col: str, salt: str) -> F.Column:
+    """Deterministic per-row uniform in [0, 1): the top 60 bits of
+    md5('samp{salt}:' || id) as a double.  Pure column expression —
+    reproducible bit-for-bit in ANSI SQL (DuckDB oracle), stable
+    across runs, partitionings and cluster sizes, which is what makes
+    hash sampling re-runnable without materializing the sample."""
+    hx = F.substring(
+        F.md5(F.concat(F.lit(f"samp{salt}:"),
+                       F.col(id_col).cast("string"))), 1, 15
+    )
+    return F.conv(hx, 16, 10).cast("double") / float(16 ** 15)
+
+
+def sample_corpus(df: DataFrame, rates: DataFrame,
+                  strata_col: str = "lang", id_col: str = "doc_id",
+                  salt: str = "") -> DataFrame:
+    """Deterministic stratified hash sampling: keep a row iff its
+    md5-uniform is below its stratum's rate.  ``rates`` is a tiny
+    (strata_col, rate) table — broadcast, so the whole operator is a
+    NARROW filter over the corpus: zero shuffles, no RNG state, and
+    the same doc set comes back at any parallelism (the property
+    web-scale mixing pipelines need for reproducible re-runs; cf.
+    Spark's own ``df.sample`` which is partition-seeded and changes
+    under repartitioning).  Strata absent from ``rates`` are dropped
+    (rate 0).  Composes with ``mixture_rates`` for token-budget
+    domain mixing."""
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(_unit_uniform(id_col, salt) < F.col("rate"))
+        .drop("rate")
+    )
+
+
+def mixture_rates(df: DataFrame, weights: dict[str, float],
+                  budget: int, strata_col: str = "source",
+                  size_col: str = "n_chars") -> DataFrame:
+    """Per-stratum sampling rates for a target corpus mixture: given
+    target ``weights`` (summing to ~1) over strata and a total
+    ``budget`` in ``size_col`` units, rate = min(1, budget*w / avail)
+    where avail is the stratum's total size.  One groupBy over a
+    tiny stratum count (map-side partials; the result is dimension-
+    table sized and feeds ``sample_corpus`` as a broadcast).  Exact:
+    avail is an integer sum, so both engines compute identical
+    doubles.  Returns (strata_col, avail, target, rate)."""
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    return (
+        df.groupBy(strata_col)
+        .agg(F.sum(size_col).alias("avail"))
+        .select(
+            strata_col,
+            "avail",
+            (F.lit(float(budget))
+             * F.coalesce(wmap[F.col(strata_col)], F.lit(0.0))
+             ).alias("target"),
+        )
+        .withColumn(
+            "rate", F.least(F.lit(1.0), F.col("target") / F.col("avail"))
+        )
     )
