@@ -2170,6 +2170,82 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+# concat-and-chunk sequence packing: md5 shard -> per-shard running
+# token sum -> integer chunk indices.  All-integer layout, so the
+# window cumsum oracles exactly (the shard hash and the whitespace
+# token count reuse the established md5 / split derivations).
+_PACK_SEQ_LEN = 512
+_PACK_SHARDS = 8
+
+
+def _pack_sql() -> str:
+    shard = _HEX2INT.format(h="substring(md5('pack:' || doc_id), 1, 15)")
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x != '')) AS n_tokens,
+             {shard} % {_PACK_SHARDS} AS shard
+      FROM documents),
+    w AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS end_tok
+      FROM t WHERE n_tokens > 0)
+    SELECT doc_id, shard, n_tokens,
+           end_tok - n_tokens AS start_tok,
+           CAST(floor((end_tok - n_tokens) / {_PACK_SEQ_LEN}.0) AS BIGINT)
+             AS first_chunk,
+           CAST(floor((end_tok - 1) / {_PACK_SEQ_LEN}.0) AS BIGINT)
+             AS last_chunk,
+           CAST(floor((end_tok - n_tokens) / {_PACK_SEQ_LEN}.0) AS BIGINT)
+             != CAST(floor((end_tok - 1) / {_PACK_SEQ_LEN}.0) AS BIGINT)
+             AS crosses_boundary
+    FROM w
+    """
+
+
+@register("pack_sequences", _pack_sql())
+def q_pack_sequences(spark, sf_dir):
+    return TP.pack_sequences(
+        read(spark, sf_dir, "documents"),
+        seq_len=_PACK_SEQ_LEN, shards=_PACK_SHARDS,
+    )
+
+
+@register(
+    "packing_stats",
+    f"""
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN crosses_boundary THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boundary_docs,
+           CAST(ceil(CAST(sum(n_tokens) AS BIGINT)
+                     / {_PACK_SEQ_LEN}.0) AS BIGINT) AS n_chunks,
+           round((CAST(ceil(CAST(sum(n_tokens) AS BIGINT)
+                            / {_PACK_SEQ_LEN}.0) AS BIGINT)
+                  * {_PACK_SEQ_LEN} - CAST(sum(n_tokens) AS BIGINT))
+                 * 1.0
+                 / (CAST(ceil(CAST(sum(n_tokens) AS BIGINT)
+                              / {_PACK_SEQ_LEN}.0) AS BIGINT)
+                    * {_PACK_SEQ_LEN}), 6) + 0.0 AS waste_frac
+    FROM ({_pack_sql()})
+    GROUP BY shard
+    """,
+)
+def q_packing_stats(spark, sf_dir):
+    out = TP.packing_stats(
+        read(spark, sf_dir, "documents"),
+        seq_len=_PACK_SEQ_LEN, shards=_PACK_SHARDS,
+    )
+    return out.select(
+        "shard", "n_docs", "n_tokens", "n_boundary_docs", "n_chunks",
+        (r(F.col("waste_frac")) + F.lit(0.0)).alias("waste_frac"),
+    )
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

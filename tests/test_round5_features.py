@@ -522,3 +522,54 @@ def test_mixture_rates_hand_case(spark):
     assert got["a"]["avail"] == 500 and got["a"]["rate"] == 1.0
     assert got["b"]["target"] == 250.0 and got["b"]["rate"] == 0.25
     assert got["c"]["rate"] == 0.0  # unweighted stratum
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_hand_case(spark):
+    """One shard, seq_len=5, docs of 3/4/2 tokens in id order: offsets
+    0-2, 3-6, 7-8 -> chunks (0,0), (0,1) crossing, (1,1)."""
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g"), (2, "h i"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TP.pack_sequences(
+        docs, seq_len=5, shards=1).collect()}
+    assert 3 not in got  # empty doc contributes nothing
+    assert (got[0]["start_tok"], got[0]["first_chunk"],
+            got[0]["last_chunk"], got[0]["crosses_boundary"]) == (0, 0, 0, False)
+    assert (got[1]["start_tok"], got[1]["first_chunk"],
+            got[1]["last_chunk"], got[1]["crosses_boundary"]) == (3, 0, 1, True)
+    assert (got[2]["start_tok"], got[2]["first_chunk"],
+            got[2]["last_chunk"], got[2]["crosses_boundary"]) == (7, 1, 1, False)
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The layout is a pure function of (doc_id, text): the same rows
+    repartitioned arbitrarily produce byte-identical layouts — a
+    cluster resizing mid-pipeline cannot move a chunk boundary."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 9))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, TP.pack_sequences(docs, 64, 4).collect()))
+    b = sorted(map(tuple,
+                   TP.pack_sequences(docs.repartition(23), 64, 4).collect()))
+    assert a == b
+
+
+def test_packing_stats_conservation(spark):
+    """Per-shard chunk accounting: n_chunks * seq_len >= n_tokens with
+    waste < one chunk, and total docs across shards equals the
+    non-empty input docs."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 9))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    rows = TP.packing_stats(docs, 64, 4).collect()
+    assert sum(r["n_docs"] for r in rows) == 200
+    for r in rows:
+        assert 0 <= r["n_chunks"] * 64 - r["n_tokens"] < 64
+        assert 0.0 <= r["waste_frac"] < 1.0

@@ -1362,3 +1362,85 @@ def mixture_rates(df: DataFrame, weights: dict[str, float],
             "rate", F.least(F.lit(1.0), F.col("target") / F.col("avail"))
         )
     )
+
+
+def with_shard(df: DataFrame, shards: int, id_col: str = "doc_id",
+               salt: str = "pack") -> DataFrame:
+    """Deterministic shard assignment: top 60 md5 bits of the id mod
+    ``shards``.  Pure column expression (reproducible in ANSI SQL),
+    uniform for any id distribution — the property that keeps the
+    packing windows below balanced."""
+    hx = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        1, 15,
+    )
+    return df.withColumn(
+        "shard", F.conv(hx, 16, 10).cast("long") % shards
+    )
+
+
+def pack_sequences(df: DataFrame, seq_len: int = 512, shards: int = 8,
+                   id_col: str = "doc_id",
+                   text: str = "text") -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    layout: within a shard, documents are concatenated in id order and
+    the token stream is split into fixed ``seq_len`` chunks (documents
+    may cross chunk boundaries).  Returns one row per non-empty doc:
+    (doc_id, shard, n_tokens, start_tok, first_chunk, last_chunk,
+    crosses_boundary).
+
+    Everything is integer arithmetic over a per-shard running sum, so
+    the layout is deterministic and exactly SQL-oracle-able.
+
+    Scale shape (100 TB): the only exchange is the shard partition for
+    the window cumsum; ``shards`` is the parallelism knob (set it to
+    O(cluster cores) — each window partition holds corpus/shards docs
+    and the state per partition is one running sum).  No joins, no
+    explode: token counts come from ``size(split(...))`` without
+    materializing token arrays."""
+    ntok = F.size(tokens_col(text))
+    w = (
+        Window.partitionBy("shard").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_shard(df.select(id_col, text), shards, id_col)
+        .select(id_col, "shard", ntok.alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("end_tok", F.sum("n_tokens").over(w))
+        .select(
+            id_col, "shard", "n_tokens",
+            (F.col("end_tok") - F.col("n_tokens")).alias("start_tok"),
+            F.floor((F.col("end_tok") - F.col("n_tokens")) / seq_len)
+            .alias("first_chunk"),
+            F.floor((F.col("end_tok") - 1) / seq_len).alias("last_chunk"),
+        )
+        .withColumn(
+            "crosses_boundary", F.col("first_chunk") != F.col("last_chunk")
+        )
+    )
+
+
+def packing_stats(df: DataFrame, seq_len: int = 512, shards: int = 8,
+                  id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Per-shard packing summary: docs, tokens, chunks (= ceil of the
+    shard's token total / seq_len) and the tail-waste fraction of the
+    last partial chunk.  One tiny groupBy over the pack layout."""
+    packed = pack_sequences(df, seq_len, shards, id_col, text)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.col("crosses_boundary").cast("long"))
+            .alias("n_boundary_docs"),
+        )
+        .withColumn(
+            "n_chunks", F.ceil(F.col("n_tokens") / seq_len)
+        )
+        .withColumn(
+            "waste_frac",
+            (F.col("n_chunks") * seq_len - F.col("n_tokens"))
+            / (F.col("n_chunks") * seq_len),
+        )
+    )
