@@ -2246,6 +2246,65 @@ def q_packing_stats(spark, sf_dir):
     )
 
 
+# k-means topic assignment + cluster-balanced retention, against the
+# same pinned md5 centroids as ann_ivf (exactly regenerable in SQL).
+def _kmeans_assign_ctes() -> str:
+    return f"""cent AS (
+      SELECT cc, list_transform(generate_series(0, 63), j ->
+        ({_HEX2INT.format(h="substring(md5('cent' || cc || ':' || j), 1, 8)")}
+         / 4294967296.0) * 2.0 - 1.0) AS w
+      FROM (SELECT unnest(generate_series(0, 3)) AS cc)),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dist AS (
+      SELECT e.vec_id, cent.cc,
+             list_dot_product(e.e, e.e)
+               - 2 * list_dot_product(e.e, cent.w)
+               + list_dot_product(cent.w, cent.w) AS d2
+      FROM e CROSS JOIN cent),
+    assigned AS (
+      SELECT vec_id, CAST(cc AS BIGINT) AS cluster
+      FROM (SELECT vec_id, cc,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cc) AS lrank
+            FROM dist)
+      WHERE lrank = 1)"""
+
+
+@register(
+    "kmeans_assign",
+    f"WITH {_kmeans_assign_ctes()} SELECT vec_id, cluster FROM assigned",
+)
+def q_kmeans_assign(spark, sf_dir):
+    return TP.kmeans_assign(
+        read(spark, sf_dir, "embeddings"), _pinned_centroids()
+    )
+
+
+_CLUSTER_CAP = 40
+
+
+@register(
+    "cluster_cap",
+    f"""
+    WITH {_kmeans_assign_ctes()},
+    ranked AS (
+      SELECT vec_id, cluster,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY {_samp_u_sql('cap', 'vec_id')}, vec_id) AS rank
+      FROM assigned)
+    SELECT vec_id, cluster, CAST(rank AS INT) AS rank,
+           rank <= {_CLUSTER_CAP} AS kept
+    FROM ranked
+    """,
+)
+def q_cluster_cap(spark, sf_dir):
+    return TP.cluster_cap(
+        read(spark, sf_dir, "embeddings"), _pinned_centroids(),
+        cap=_CLUSTER_CAP,
+    )
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

@@ -573,3 +573,44 @@ def test_packing_stats_conservation(spark):
     for r in rows:
         assert 0 <= r["n_chunks"] * 64 - r["n_tokens"] < 64
         assert 0.0 <= r["waste_frac"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# k-means topic assignment + cluster-balanced retention
+# ---------------------------------------------------------------------------
+
+def test_kmeans_assign_hand_case(spark):
+    """2-D toy: centroids at (0,0) and (10,0); points land on the
+    nearest one, equidistant point tie-breaks to the lower id."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [9.0, 1.0]), (2, [5.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    got = {r["vec_id"]: r["cluster"]
+           for r in TP.kmeans_assign(emb, cents).collect()}
+    assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_cluster_cap_properties(spark):
+    """Exactly min(cap, cluster size) rows kept per cluster; retention
+    is partition-invariant (pure function of vec_id)."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) + (10.0 if i % 2 else 0.0),
+                 rng.uniform(-1, 1)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    out = TP.cluster_cap(emb, cents, cap=20).collect()
+    by_cluster = {}
+    for r0 in out:
+        by_cluster.setdefault(r0["cluster"], []).append(r0)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == min(20, len(members))
+    a = sorted((r0["vec_id"], r0["kept"]) for r0 in out)
+    b = sorted(
+        (r0["vec_id"], r0["kept"])
+        for r0 in TP.cluster_cap(emb.repartition(13), cents, cap=20).collect()
+    )
+    assert a == b

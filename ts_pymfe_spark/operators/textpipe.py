@@ -1444,3 +1444,46 @@ def packing_stats(df: DataFrame, seq_len: int = 512, shards: int = 8,
             / (F.col("n_chunks") * seq_len),
         )
     )
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]],
+                  id_col: str = "vec_id",
+                  emb: str = "embedding") -> DataFrame:
+    """Nearest-centroid (L2) topic assignment against a broadcast
+    centroid matrix -> (id, cluster).  The matrix is model parameters
+    (k x dim floats — driver-sized by definition; train with
+    ``ivf_train_centroids``), so the whole operator is a narrow map
+    over the corpus: zero shuffles at any scale.  Deterministic
+    tie-break by centroid id, so pinned centroids make it exactly
+    SQL-oracle-able."""
+    out = _with_nearest_lists(df, centroids, 1, emb, out="_list")
+    return out.select(
+        id_col, F.col("_list")[0].cast("long").alias("cluster")
+    )
+
+
+def cluster_cap(df: DataFrame, centroids: list[list[float]],
+                cap: int, id_col: str = "vec_id",
+                emb: str = "embedding", salt: str = "cap") -> DataFrame:
+    """Cluster-balanced retention (the SemDeDup-style diversity cap):
+    assign each vector to its nearest centroid, then keep at most
+    ``cap`` members per cluster, chosen by a deterministic md5-uniform
+    permutation (so retention is a pure function of ids — re-runnable
+    and partition-invariant, like ``sample_corpus``).
+
+    Returns (id, cluster, rank, kept) for every input row.
+
+    Scale shape: assignment is narrow (broadcast centroids); the cap
+    is one window rank per cluster — k reducer partitions of
+    ~corpus/k rows.  For extreme corpus/k ratios prefer the two-pass
+    approximate form (count per cluster, then filter u < cap/n) which
+    needs no per-cluster sort; the exact rank form here is the
+    contract-checked reference."""
+    assigned = kmeans_assign(df, centroids, id_col, emb)
+    u = _unit_uniform(id_col, salt)
+    w = Window.partitionBy("cluster").orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        assigned
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("kept", F.col("rank") <= cap)
+    )
