@@ -25,6 +25,7 @@ from ts_pymfe_spark.operators import info_theory as IT
 from ts_pymfe_spark.operators import local_stats as LS
 from ts_pymfe_spark.operators import sequence as SQ
 from ts_pymfe_spark.operators import textpipe as TP
+from ts_pymfe_spark.operators.asof import asof_join, asof_lag_seconds
 from ts_pymfe_spark.operators.gapfill import gapfill
 from ts_pymfe_spark.operators.rollup import cascade, rollup_raw
 from ts_pymfe_spark.sources.testdata import events_series, read
@@ -2302,6 +2303,41 @@ def q_cluster_cap(spark, sf_dir):
     return TP.cluster_cap(
         read(spark, sf_dir, "embeddings"), _pinned_centroids(),
         cap=_CLUSTER_CAP,
+    )
+
+
+# as-of join (kdb aj / DuckDB ASOF): each click gets the latest view
+# of the same user at or before its timestamp.  The Spark side is the
+# union-merge window (one exchange, no per-key quadratic term); the
+# oracle is the obviously-correct LATERAL argmax with the identical
+# tie-break (ts DESC, event_id DESC).
+@register(
+    "asof_join",
+    """
+    SELECT a.event_id, a.user_id, a.ts, a.value,
+           b.event_id AS r_event_id, b.ts AS r_ts, b.value AS r_value,
+           round(date_diff('microsecond', b.ts, a.ts) / 1000000.0, 6)
+             + 0.0 AS lag_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN LATERAL (
+      SELECT event_id, ts, value FROM events b
+      WHERE b.event_type = 'view' AND b.user_id = a.user_id
+        AND b.ts <= a.ts
+      ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) b ON true
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    ev = read(spark, sf_dir, "events")
+    out = asof_join(
+        ev.filter("event_type = 'click'")
+        .select("event_id", "user_id", "ts", "value"),
+        ev.filter("event_type = 'view'"),
+        key="user_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        "r_event_id", "r_ts", "r_value",
+        (r(asof_lag_seconds(out)) + F.lit(0.0)).alias("lag_s"),
     )
 
 

@@ -614,3 +614,73 @@ def test_cluster_cap_properties(spark):
         for r0 in TP.cluster_cap(emb.repartition(13), cents, cap=20).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+
+
+def test_asof_join_hand_case(spark):
+    """Latest right at-or-before each left ts; equal-ts right rows ARE
+    eligible and tie-break to the highest event_id; no eligible right
+    row -> nulls."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    from ts_pymfe_spark.operators.asof import asof_join
+
+    left = _mk_events(spark, [
+        (100, t(5), 1, 1.0),   # after r10, r11
+        (101, t(2), 1, 2.0),   # exactly at r11's ts -> matches r11
+        (102, t(1), 1, 3.0),   # before everything except r10
+        (103, t(9), 2, 4.0),   # user 2 has no right rows -> nulls
+    ])
+    right = _mk_events(spark, [
+        (10, t(0), 1, 10.0),
+        (11, t(2), 1, 11.0),
+        (12, t(2), 1, 12.0),   # same ts as 11 -> higher id wins
+        (13, t(7), 1, 13.0),   # in the future of all left rows
+    ])
+    got = {r0["event_id"]: r0 for r0 in asof_join(left, right).collect()}
+    assert got[100]["r_event_id"] == 12 and got[100]["r_value"] == 12.0
+    assert got[101]["r_event_id"] == 12  # equal-ts eligible
+    assert got[102]["r_event_id"] == 10
+    assert got[103]["r_event_id"] is None and got[103]["r_value"] is None
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance_s nulls out matches older than the bound."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    from ts_pymfe_spark.operators.asof import asof_join
+
+    left = _mk_events(spark, [(100, t(30), 1, 1.0), (101, t(3), 1, 2.0)])
+    right = _mk_events(spark, [(10, t(0), 1, 10.0)])
+    got = {r0["event_id"]: r0
+           for r0 in asof_join(left, right, tolerance_s=5.0).collect()}
+    assert got[100]["r_event_id"] is None  # 30 s back > 5 s tolerance
+    assert got[101]["r_event_id"] == 10    # 3 s back, within
+
+
+def test_asof_join_plan_single_exchange(spark):
+    """The union-merge form costs exactly one exchange (the window's
+    key partition) — the scale property that makes it usable where a
+    range join would be O(n_l x n_r) per key."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    from ts_pymfe_spark.operators.asof import asof_join
+
+    left = _mk_events(spark, [(100, t(5), 1, 1.0)])
+    right = _mk_events(spark, [(10, t(0), 1, 10.0)])
+    plan = asof_join(left, right)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan

@@ -1,0 +1,118 @@
+"""As-of join — the time-series join (kdb `aj`, QuestDB/DuckDB ASOF):
+each left row is matched to the LATEST right row with right.ts <=
+left.ts in the same key group.
+
+Engine addition (no reference counterpart — the reference computes
+single-series meta-features; joining two event streams by time is the
+operation a transcript/metrics pipeline runs to attach the most recent
+context row to each event).
+
+Spark-first design: the naive formulations are a range join (Catalyst
+plans O(n_left x n_right) per key: join on key + ts filter + per-row
+max) or a per-key loop.  This implementation uses the union-merge
+trick instead:
+
+  1. union left and right into ONE relation, right rows carrying their
+     payload in a struct, left rows carrying null;
+  2. one window over (key) ordered by (ts, side, order_col) with
+     ``last(payload, ignorenulls=True)`` over UNBOUNDED PRECEDING —
+     each left row sees exactly the latest right payload at or before
+     its timestamp;
+  3. keep the left rows.
+
+Cost: ONE exchange of slim rows on the key plus a per-partition sort —
+identical shape to a sort-merge join, with no quadratic per-key term
+regardless of key skew.  At 100 TB this is the difference between a
+plan that finishes and one that doesn't: a hot key with 10M left and
+10M right rows costs 20M sorted rows here vs 100T joined-then-filtered
+rows in the naive range join.
+
+Determinism contract (what makes the operator exactly SQL-oracle-able):
+ties on right.ts within a key break by the highest ``order_col``; a
+right row at exactly left.ts IS eligible (<=, matching DuckDB ASOF's
+`>=` convention); left rows with no eligible right row keep nulls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
+              ts_col: str = "ts", order_col: str = "event_id",
+              payload: tuple[str, ...] = ("event_id", "ts", "value"),
+              prefix: str = "r_",
+              tolerance_s: float | None = None) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus ``{prefix}{c}`` for
+    each payload column of the latest eligible ``right`` row (nulls if
+    none).  ``tolerance_s`` bounds the lookback: matches older than
+    ``tolerance_s`` seconds are nulled out (state-bounding at scale —
+    an unbounded as-of over years of history is almost never wanted).
+
+    Right-side ties on ``ts_col`` break by the highest ``order_col``
+    (deterministic; make it unique for a total order).
+    """
+    lcols = left.columns
+    pay = F.struct(*[F.col(c).alias(c) for c in payload])
+    r = right.select(
+        F.col(key),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_col).cast("long").alias("_ord"),
+        F.lit(0).alias("_side"),
+        pay.alias("_pay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in lcols],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(ts_col).alias("_ts"),
+        F.lit(None).cast("long").alias("_ord"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    # right rows sort BEFORE left rows at equal ts (_side 0 < 1), so a
+    # right row at exactly left.ts is visible to that left row's frame
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
+                 F.col("_ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        r.unionByName(l)
+        .withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    if tolerance_s is not None:
+        ts_idx = list(payload).index(ts_col) if ts_col in payload else None
+        if ts_idx is None:
+            raise ValueError(
+                "tolerance_s requires ts_col in the right payload"
+            )
+        # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike
+        # (unix_micros rejects NTZ, the type parquet event-time columns
+        # read back as)
+        lag = (
+            F.timestamp_diff("MICROSECOND", F.col("_m")[ts_col],
+                             F.col("_ts")) / 1e6
+        )
+        merged = merged.withColumn(
+            "_m", F.when(lag <= tolerance_s, F.col("_m"))
+        )
+    return merged.select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in payload],
+    )
+
+
+def asof_lag_seconds(df: DataFrame, ts_col: str = "ts",
+                     matched_ts: str = "r_ts") -> F.Column:
+    """Seconds from the matched right row to the left row (exact
+    integer-microsecond arithmetic before the single divide, so both
+    engines produce the identical double)."""
+    return (
+        F.timestamp_diff("MICROSECOND", F.col(matched_ts), F.col(ts_col))
+        / F.lit(1e6)
+    )
