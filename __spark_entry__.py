@@ -25,7 +25,8 @@ from ts_pymfe_spark.operators import info_theory as IT
 from ts_pymfe_spark.operators import local_stats as LS
 from ts_pymfe_spark.operators import sequence as SQ
 from ts_pymfe_spark.operators import textpipe as TP
-from ts_pymfe_spark.operators.asof import asof_join, asof_lag_seconds
+from ts_pymfe_spark.operators.asof import (asof_join, asof_lag_seconds,
+                                           window_join)
 from ts_pymfe_spark.operators.gapfill import gapfill
 from ts_pymfe_spark.operators.rollup import cascade, rollup_raw
 from ts_pymfe_spark.sources.testdata import events_series, read
@@ -2338,6 +2339,46 @@ def q_asof_join(spark, sf_dir):
         "event_id", "user_id", "ts", "value",
         "r_event_id", "r_ts", "r_value",
         (r(asof_lag_seconds(out)) + F.lit(0.0)).alias("lag_s"),
+    )
+
+
+# window join (kdb wj): trailing 1-day aggregates of each user's view
+# values at every click.  The contract pre-scales values to integer
+# cents so every aggregate (count/sum/min/max, and avg = exact-int
+# double division) is order-free and hash-exact; the production
+# operator aggregates whatever column it is given.
+@register(
+    "window_join",
+    """
+    WITH v AS (SELECT user_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT event_id, user_id, ts
+          FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts,
+           w.n AS w_n, w.s AS w_sum, w.mn AS w_min, w.mx AS w_max,
+           round(w.a, 6) + 0.0 AS w_avg
+    FROM c LEFT JOIN LATERAL (
+      SELECT count(cents) AS n, CAST(sum(cents) AS BIGINT) AS s,
+             min(cents) AS mn, max(cents) AS mx, avg(cents) AS a
+      FROM v WHERE v.user_id = c.user_id
+        AND v.ts <= c.ts
+        AND v.ts >= c.ts - INTERVAL 86400 SECOND) w ON true
+    """,
+)
+def q_window_join(spark, sf_dir):
+    ev = read(spark, sf_dir, "events")
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "user_id", "ts"
+    )
+    out = window_join(clicks, views, window_s=86400.0, value_col="cents")
+    return out.select(
+        "event_id", "user_id", "ts", "w_n", "w_sum", "w_min", "w_max",
+        (r(F.col("w_avg")) + F.lit(0.0)).alias("w_avg"),
     )
 
 

@@ -684,3 +684,43 @@ def test_asof_join_plan_single_exchange(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_window_join_hand_case(spark):
+    """Trailing 10 s window: boundary at exactly ts-10 included, right
+    at exactly ts included, other left rows never counted."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    from ts_pymfe_spark.operators.asof import window_join
+
+    left = _mk_events(spark, [
+        (100, t(20), 1, 99.0), (101, t(11), 1, 99.0), (102, t(5), 2, 99.0),
+    ])
+    right = _mk_events(spark, [
+        (10, t(10), 1, 1.0),   # exactly 20-10 -> in both frames
+        (11, t(15), 1, 2.0),
+        (12, t(20), 1, 4.0),   # exactly at left ts -> included
+        (13, t(30), 1, 8.0),   # future -> never
+    ])
+    got = {r0["event_id"]: r0
+           for r0 in window_join(left, right, window_s=10.0).collect()}
+    assert (got[100]["w_n"], got[100]["w_sum"],
+            got[100]["w_min"], got[100]["w_max"]) == (3, 7.0, 1.0, 4.0)
+    assert got[100]["w_avg"] == pytest.approx(7.0 / 3)
+    assert (got[101]["w_n"], got[101]["w_sum"]) == (1, 1.0)  # only t=10 in [1,11]
+    assert got[102]["w_n"] == 0 and got[102]["w_sum"] is None
+
+
+def test_window_join_plan_single_exchange(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    from ts_pymfe_spark.operators.asof import window_join
+
+    left = _mk_events(spark, [(100, t(5), 1, 1.0)])
+    right = _mk_events(spark, [(10, t(0), 1, 10.0)])
+    plan = window_join(left, right)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "Join" not in plan

@@ -116,3 +116,65 @@ def asof_lag_seconds(df: DataFrame, ts_col: str = "ts",
         F.timestamp_diff("MICROSECOND", F.col(matched_ts), F.col(ts_col))
         / F.lit(1e6)
     )
+
+
+def window_join(left: DataFrame, right: DataFrame, key: str = "user_id",
+                ts_col: str = "ts", window_s: float = 60.0,
+                value_col: str = "value",
+                prefix: str = "w_") -> DataFrame:
+    """Window join (kdb ``wj``): for each left row, aggregate the right
+    rows of the same key inside the trailing window
+    ``[ts - window_s, ts]`` -> left columns plus ``{prefix}n/sum/min/
+    max/avg`` of ``value_col`` (n=0 and nulls when the window is
+    empty; right rows at exactly ``ts`` are included).
+
+    Same union-merge scale shape as ``asof_join``: both streams union
+    once, a single key-partitioned RANGE-frame window (ordered by
+    exact integer epoch micros) computes the aggregates, left rows
+    project them out.  One exchange + one sort per key partition,
+    O(n log n) at any key skew — the naive inequality join is
+    O(n_left x n_right) per key.  Left rows inside each other's
+    frames carry null values, so only right rows aggregate.
+    """
+    lcols = left.columns
+    epoch = F.lit("1970-01-01 00:00:00").cast(
+        left.schema[ts_col].dataType
+    )
+    r = right.select(
+        F.col(key),
+        F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+        .alias("_us"),
+        F.col(value_col).alias("_v"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in lcols],
+        F.lit(0).alias("_side"),
+    )
+    l = left.select(
+        F.col(key),
+        F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+        .alias("_us"),
+        F.lit(None).cast(r.schema["_v"].dataType).alias("_v"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+        F.lit(1).alias("_side"),
+    )
+    w = (
+        Window.partitionBy(key).orderBy("_us")
+        .rangeBetween(-int(round(window_s * 1_000_000)), 0)
+    )
+    return (
+        r.unionByName(l)
+        .select(
+            "*",
+            F.count("_v").over(w).alias(f"{prefix}n"),
+            F.sum("_v").over(w).alias(f"{prefix}sum"),
+            F.min("_v").over(w).alias(f"{prefix}min"),
+            F.max("_v").over(w).alias(f"{prefix}max"),
+            F.avg("_v").over(w).alias(f"{prefix}avg"),
+        )
+        .where(F.col("_side") == 1)
+        .select(
+            *[F.col(f"_l_{c}").alias(c) for c in lcols],
+            f"{prefix}n", f"{prefix}sum", f"{prefix}min",
+            f"{prefix}max", f"{prefix}avg",
+        )
+    )
