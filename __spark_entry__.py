@@ -27,6 +27,7 @@ from ts_pymfe_spark.operators import sequence as SQ
 from ts_pymfe_spark.operators import textpipe as TP
 from ts_pymfe_spark.operators.asof import (asof_join, asof_lag_seconds,
                                            window_join)
+from ts_pymfe_spark.operators.counters import counter_rate
 from ts_pymfe_spark.operators.gapfill import gapfill
 from ts_pymfe_spark.operators.rollup import cascade, rollup_raw
 from ts_pymfe_spark.sources.testdata import events_series, read
@@ -2379,6 +2380,50 @@ def q_window_join(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "ts", "w_n", "w_sum", "w_min", "w_max",
         (r(F.col("w_avg")) + F.lit(0.0)).alias("w_avg"),
+    )
+
+
+# PromQL-style counter rate with reset handling: per-user cumulative
+# counter (integer cents, so the per-bucket double sums are exact in
+# any order), lag-differenced with the Prometheus reset convention
+# (negative delta -> the new value is the increase), rolled up to
+# hourly increase + per-second rate.
+@register(
+    "counter_rate",
+    """
+    WITH c AS (SELECT user_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    d AS (SELECT user_id, ts, v,
+                 v - lag(v) OVER (PARTITION BY user_id
+                                  ORDER BY ts) AS delta
+          FROM c),
+    i AS (SELECT user_id, ts,
+                 CASE WHEN delta IS NULL THEN NULL
+                      WHEN delta < 0 THEN CAST(v AS DOUBLE)
+                      ELSE CAST(delta AS DOUBLE) END AS increase,
+                 CASE WHEN delta < 0 THEN 1 ELSE 0 END AS reset
+          FROM d)
+    SELECT user_id,
+           make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600
+                               AS BIGINT) * 1000000) AS bucket_start,
+           count(*) AS n_samples,
+           CAST(sum(reset) AS BIGINT) AS n_resets,
+           sum(increase) AS increase_sum,
+           round(sum(increase) / 3600, 6) + 0.0 AS rate
+    FROM i GROUP BY 1, 2
+    """,
+)
+def q_counter_rate(spark, sf_dir):
+    ev = read(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = counter_rate(ev, value_col="cents", bucket_s=3600)
+    return out.select(
+        "user_id", "bucket_start", "n_samples", "n_resets",
+        "increase_sum",
+        (r(F.col("rate")) + F.lit(0.0)).alias("rate"),
     )
 
 

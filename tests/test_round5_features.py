@@ -724,3 +724,69 @@ def test_window_join_plan_single_exchange(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# counter rate (PromQL increase/rate semantics)
+# ---------------------------------------------------------------------------
+
+def test_counter_increase_hand_case(spark):
+    """First sample -> null increase, not a reset; forward step ->
+    delta; backward step -> reset, increase = the new value."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    from ts_pymfe_spark.operators.counters import counter_increase
+
+    df = spark.createDataFrame(
+        [(1, t(0), 100.0), (1, t(1), 150.0), (1, t(2), 30.0),
+         (1, t(3), 35.0), (2, t(0), 7.0)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    got = {(r["user_id"], r["ts"].second): (r["increase"], r["is_reset"])
+           for r in counter_increase(df).collect()}
+    assert got[(1, 0)] == (None, False)       # first sample
+    assert got[(1, 1)] == (50.0, False)       # monotone step
+    assert got[(1, 2)] == (30.0, True)        # reset: new value counts
+    assert got[(1, 3)] == (5.0, False)
+    assert got[(2, 0)] == (None, False)       # per-key independence
+
+
+def test_counter_rate_bucket_rollup(spark):
+    """Bucketed rollup sums reset-adjusted increases; an
+    all-first-samples bucket reports 0 resets and null sum."""
+    import datetime as dt
+
+    t = lambda m, s: dt.datetime(2024, 1, 1, 0, m, s)
+    from ts_pymfe_spark.operators.counters import counter_rate
+
+    df = spark.createDataFrame(
+        [(1, t(0, 0), 10.0), (1, t(0, 30), 25.0), (1, t(1, 10), 5.0),
+         (2, t(0, 5), 3.0)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    out = {(r["user_id"], r["bucket_start"].minute): r
+           for r in counter_rate(df, bucket_s=60).collect()}
+    r10 = out[(1, 0)]
+    assert (r10["n_samples"], r10["n_resets"]) == (2, 0)
+    assert r10["increase_sum"] == 15.0 and r10["rate"] == 15.0 / 60
+    r11 = out[(1, 1)]
+    assert (r11["n_samples"], r11["n_resets"]) == (1, 1)
+    assert r11["increase_sum"] == 5.0        # reset -> the new value
+    r20 = out[(2, 0)]
+    assert r20["increase_sum"] is None and r20["n_resets"] == 0
+
+
+def test_counter_rate_plan_single_exchange(spark):
+    """The lag window's key partitioning serves the (key, bucket)
+    aggregation too (subset-of-group-keys rule) -> ONE exchange."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.counters import counter_rate
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    plan = counter_rate(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
