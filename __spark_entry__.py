@@ -2427,6 +2427,146 @@ def q_counter_rate(spark, sf_dir):
     )
 
 
+# HLL distinct users per day (operators/sketches.py): md5-derived
+# 32-bit hash, p=10 registers — the whole pipeline (hash, register,
+# leading-zero rank, per-register max, Flajolet estimate with the
+# linear-counting branch) is replayed verbatim in DuckDB.  The bias
+# constants are precomputed in Python and inlined as the SAME literal
+# on both engines; per-group sums of 2^-rho are binary fractions
+# spanning < 53 bits, exact in any aggregation order.
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+
+
+@register(
+    "hll_users_daily",
+    f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day,
+             {_HEX2INT.format(h="substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 8)")} AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    rg AS (
+      SELECT day, h >> 22 AS register,
+             CASE WHEN (h & 4194303) = 0 THEN 23
+                  ELSE strpos(lpad(bin(h & 4194303), 22, '0'), '1')
+                  END AS rho
+      FROM h
+    ),
+    s AS (SELECT day, register, max(rho) AS max_rho
+          FROM rg GROUP BY 1, 2),
+    e AS (SELECT day, count(*) AS used,
+                 (1024 - count(*)) + sum(power(2.0, -max_rho)) AS s_all
+          FROM s GROUP BY 1)
+    SELECT day, CAST(used AS BIGINT) AS registers_used,
+           round(CASE WHEN {_HLL_ALPHA_M2!r} / s_all <= 2560.0
+                       AND used < 1024
+                      THEN 1024.0 * ln(1024.0 / (1024 - used))
+                      ELSE {_HLL_ALPHA_M2!r} / s_all END, 6) + 0.0
+           AS est_distinct
+    FROM e
+    """,
+)
+def q_hll_users_daily(spark, sf_dir):
+    from ts_pymfe_spark.operators.sketches import hll_distinct
+
+    ev = read(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).cast("string").alias("day"),
+        "user_id",
+    )
+    return hll_distinct(ev, ["day"], "user_id", p=10)
+
+
+# view -> click -> purchase funnel within 24 h (operators/funnel.py):
+# greedy-earliest chain anchored at the first view, equal timestamps
+# eligible, (ts, event_id) processing order.  Running-min windows on
+# both engines — timestamps and the int depth hash exactly.
+@register(
+    "funnel_vcp",
+    """
+    WITH a AS (
+      SELECT user_id, event_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t1
+      FROM events
+    ),
+    b AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1
+                          AND ts <= t1 + INTERVAL 86400 SECOND
+                         THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t2
+      FROM a
+    ),
+    c AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2
+                          AND ts <= t1 + INTERVAL 86400 SECOND
+                         THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t3
+      FROM b
+    )
+    SELECT user_id,
+           CAST(min(t1) AS VARCHAR) AS view_ts,
+           CAST(min(t2) AS VARCHAR) AS click_ts,
+           CAST(min(t3) AS VARCHAR) AS purchase_ts,
+           CASE WHEN min(t3) IS NOT NULL THEN 3
+                WHEN min(t2) IS NOT NULL THEN 2
+                WHEN min(t1) IS NOT NULL THEN 1
+                ELSE 0 END AS depth
+    FROM c GROUP BY user_id
+    """,
+)
+def q_funnel_vcp(spark, sf_dir):
+    from ts_pymfe_spark.operators.funnel import funnel
+
+    ev = read(spark, sf_dir, "events")
+    out = funnel(
+        ev,
+        steps=[F.col("event_type") == "view",
+               F.col("event_type") == "click",
+               F.col("event_type") == "purchase"],
+        key="user_id", ts_col="ts", window_s=86400.0,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("t1").cast("string").alias("view_ts"),
+        F.col("t2").cast("string").alias("click_ts"),
+        F.col("t3").cast("string").alias("purchase_ts"),
+        "depth",
+    )
+
+
+# cohort retention matrix (operators/funnel.py): cohort = first
+# activity day per user; distinct-user counts are exact integers.
+@register(
+    "cohort_retention",
+    """
+    WITH a AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+    c AS (SELECT user_id, day,
+                 min(day) OVER (PARTITION BY user_id) AS cohort_day
+          FROM a),
+    d AS (SELECT DISTINCT user_id, cohort_day,
+                 CAST(date_diff('day', cohort_day, day) AS INT)
+                   AS offset_days
+          FROM c)
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, offset_days,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM d GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    from ts_pymfe_spark.operators.funnel import cohort_retention
+
+    out = cohort_retention(read(spark, sf_dir, "events"))
+    return out.select(
+        F.col("cohort_day").cast("date").cast("string")
+        .alias("cohort_day"),
+        "offset_days", "n_active",
+    )
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

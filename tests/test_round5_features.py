@@ -790,3 +790,163 @@ def test_counter_rate_plan_single_exchange(spark):
     )
     plan = counter_rate(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct sketch
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_within_published_error(spark):
+    """p=10 -> published RSE 3.25%; 5000 true distinct must estimate
+    within 4 sigma (deterministic — the hash is md5, not seeded)."""
+    from ts_pymfe_spark.operators.sketches import (hll_distinct,
+                                                   hll_error_bound)
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    est = hll_distinct(df, ["g"], "v").first()["est_distinct"]
+    assert abs(est - 5000) / 5000 < 4 * hll_error_bound(10)
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities ride the linear-counting branch and land
+    very close (first-order error ~ n^2/2m)."""
+    from ts_pymfe_spark.operators.sketches import hll_distinct
+
+    df = spark.range(40).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    row = hll_distinct(df, ["g"], "v").first()
+    assert abs(row["est_distinct"] - 40) <= 3
+    assert row["registers_used"] <= 40
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    """Mergeability: sketch(A) max-merged with sketch(B) is EXACTLY
+    sketch(A union B) — the property that makes daily sketches a
+    storable rollup artifact."""
+    from ts_pymfe_spark.operators.sketches import (hll_estimate,
+                                                   hll_merge, hll_sketch)
+
+    a = spark.range(0, 3000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    b = spark.range(2000, 6000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    merged = hll_merge(hll_sketch(a, ["g"], "v"), hll_sketch(b, ["g"], "v"))
+    direct = hll_sketch(a.unionByName(b), ["g"], "v")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    e1 = hll_estimate(merged, ["g"]).first()["est_distinct"]
+    e2 = hll_estimate(direct, ["g"]).first()["est_distinct"]
+    assert e1 == e2
+
+
+def test_hll_partition_invariant_and_duplicate_proof(spark):
+    """The estimate is a pure function of the distinct SET: duplicates
+    and physical partitioning cannot move it by even an ulp."""
+    from ts_pymfe_spark.operators.sketches import hll_distinct
+
+    base = spark.range(1000).select(
+        F.lit("g").alias("g"), (F.col("id") % 500).cast("string").alias("v"))
+    e1 = hll_distinct(base, ["g"], "v").first()["est_distinct"]
+    e2 = hll_distinct(base.repartition(17), ["g"], "v") \
+        .first()["est_distinct"]
+    dedup = spark.range(500).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    e3 = hll_distinct(dedup, ["g"], "v").first()["est_distinct"]
+    assert e1 == e2 == e3
+
+
+def test_hll_shuffle_is_register_bounded(spark):
+    """Plan shape: the raw relation feeds a partial max BEFORE the
+    exchange — the shuffle carries (key, register, rho) partials, at
+    most groups x 1024 rows per task, never raw rows."""
+    from ts_pymfe_spark.operators.sketches import hll_sketch
+
+    df = spark.range(10000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    plan = hll_sketch(df, ["g"], "v")._jdf.queryExecution() \
+        .executedPlan().toString()
+    first_agg = plan.index("HashAggregate")
+    first_ex = plan.index("Exchange")
+    assert first_agg > 0 and "partial_max" not in plan[:first_agg]
+    # partial aggregate appears below (after, in tree print order) the
+    # exchange: the exchange input is aggregated
+    assert "max(rho" in plan
+
+
+# ---------------------------------------------------------------------------
+# funnel + cohort retention
+# ---------------------------------------------------------------------------
+
+def test_funnel_hand_case(spark):
+    """Greedy-earliest chain, 10 s window anchored at the first step-1
+    event; out-of-window step 2 never counts; equal-ts events are
+    eligible; depth 0 when step 1 absent."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.funnel import funnel
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    ev = spark.createDataFrame(
+        [  # user 1: complete funnel inside window
+            (1, 1, t(0), "view"), (2, 1, t(3), "click"),
+            (3, 1, t(9), "purchase"),
+            # user 2: click lands after t1+10 -> depth 1
+            (4, 2, t(0), "view"), (5, 2, t(20), "click"),
+            # user 3: purchase BEFORE click -> depth 2 only
+            (6, 3, t(0), "view"), (7, 3, t(2), "purchase"),
+            (8, 3, t(5), "click"),
+            # user 4: no view at all -> depth 0
+            (9, 4, t(0), "click"), (10, 4, t(1), "purchase"),
+            # user 5: click simultaneous with view -> eligible
+            (11, 5, t(0), "view"), (12, 5, t(0), "click"),
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, event_type string",
+    )
+    steps = [F.col("event_type") == s
+             for s in ("view", "click", "purchase")]
+    got = {r0["user_id"]: r0
+           for r0 in funnel(ev, steps, window_s=10.0,
+                            tiebreak_col="event_id").collect()}
+    assert got[1]["depth"] == 3 and got[1]["t3"] == t(9)
+    assert got[2]["depth"] == 1 and got[2]["t2"] is None
+    assert got[3]["depth"] == 2  # purchase-before-click can't chain
+    assert got[4]["depth"] == 0 and got[4]["t1"] is None
+    assert got[5]["depth"] == 2 and got[5]["t2"] == t(0)
+
+
+def test_funnel_single_exchange(spark):
+    """All running-min windows and the final agg share the key
+    partitioning -> exactly one exchange, no UNBOUNDED FOLLOWING."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.funnel import funnel
+
+    ev = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), "view")],
+        "event_id long, user_id long, ts timestamp_ntz, event_type string",
+    )
+    steps = [F.col("event_type") == s for s in ("view", "click")]
+    plan = funnel(ev, steps, tiebreak_col="event_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Following" not in plan
+
+
+def test_cohort_retention_hand_case(spark):
+    """Cohort = first activity day; same-day repeats dedup; offset 0
+    row equals cohort size."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.funnel import cohort_retention
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)
+    ev = spark.createDataFrame(
+        [(1, d(1)), (1, d(1, 5)), (1, d(3)),   # cohort 1, offsets {0, 2}
+         (2, d(1)), (2, d(2)),                 # cohort 1, offsets {0, 1}
+         (3, d(2)), (3, d(4))],                # cohort 2, offsets {0, 2}
+        "user_id long, ts timestamp_ntz",
+    )
+    got = {(r0["cohort_day"].day, r0["offset_days"]): r0["n_active"]
+           for r0 in cohort_retention(ev).collect()}
+    assert got == {(1, 0): 2, (1, 1): 1, (1, 2): 1, (2, 0): 1, (2, 2): 1}

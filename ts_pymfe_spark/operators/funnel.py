@@ -1,0 +1,129 @@
+"""Event funnel analysis (ClickHouse ``windowFunnel``-style) and
+cohort retention, pure Spark SQL.
+
+Engine additions (no reference counterpart): the transcripts/events
+side of the workload needs behavioral analytics — "how many sessions
+reached view -> click -> purchase within 24 h" and "what fraction of a
+signup cohort was still active k days later" — that the reference's
+per-series feature extractors never touch.
+
+Funnel semantics (documented, deterministic): events are processed in
+``(ts, tiebreak)`` order per key.  The chain is greedy-earliest and
+anchored at the first step-1 event:
+
+* ``t1`` = earliest ts matching step 1,
+* ``t_k`` = earliest ts matching step k with ``t_k >= t_{k-1}`` and
+  ``t_k <= t1 + window`` (equal timestamps ARE eligible; the order
+  tiebreak only stabilizes which row a running min sees first, the
+  min itself is order-free),
+* ``depth`` = number of completed steps.
+
+Greedy-earliest is optimal here: taking the earliest eligible event at
+every step can only leave more room (never less) for later steps
+inside the fixed ``[t1, t1 + window]`` envelope, so ``depth`` equals
+the max achievable depth for the anchor-at-first-step-1 convention.
+
+Scale shape: ONE exchange — all three running-min windows and the
+final per-key aggregate share the key partitioning (subset-of-group-
+keys rule); the windows are running frames (UNBOUNDED PRECEDING ..
+CURRENT ROW), never FOLLOWING, so no per-row rescans.  The nested
+window expressions are layered as successive projections (Spark
+rejects window-inside-window in one select), which Catalyst plans as
+consecutive Window nodes over one sort.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(df: DataFrame, steps: Sequence[Column], key: str = "user_id",
+           ts_col: str = "ts", window_s: float = 86400.0,
+           tiebreak_col: str | None = None) -> DataFrame:
+    """Per-key funnel completion times and depth.
+
+    ``steps`` are boolean Columns (e.g. ``F.col("event_type") ==
+    "view"``).  -> (key, t1..tk, depth).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step predicate")
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (Window.partitionBy(key).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ts = F.col(ts_col)
+    out = df
+    deadline = None  # t1 + window, set after the first step lands
+    for i, pred in enumerate(steps, start=1):
+        if i == 1:
+            cand = F.when(pred, ts)
+        else:
+            prev = F.col(f"t{i - 1}")
+            cand = F.when(
+                pred & (ts >= prev) & (ts <= deadline), ts)
+        # each running min references the previous one -> new projection
+        out = out.withColumn(f"t{i}", F.min(cand).over(w))
+        if i == 1:
+            deadline = F.col("t1") + F.make_dt_interval(
+                secs=F.lit(float(window_s)))
+    tcols = [f"t{i}" for i in range(1, len(steps) + 1)]
+    # running mins are non-increasing, so min == value at the last row
+    agg = [F.min(c).alias(c) for c in tcols]
+    depth = F.lit(0)
+    for i, c in enumerate(tcols, start=1):
+        depth = F.when(F.col(c).isNotNull(), i).otherwise(depth)
+    return (out.groupBy(key).agg(*agg)
+            .withColumn("depth", depth.cast("int")))
+
+
+def funnel_counts(df: DataFrame, steps: Sequence[Column],
+                  key: str = "user_id", ts_col: str = "ts",
+                  window_s: float = 86400.0,
+                  tiebreak_col: str | None = None) -> DataFrame:
+    """Funnel summary: keys reaching >= each step (classic funnel bar
+    chart).  -> (step, n_keys), step 1..k."""
+    per_key = funnel(df, steps, key, ts_col, window_s, tiebreak_col)
+    k = len(steps)
+    return (per_key
+            .select(F.explode(F.sequence(F.lit(1), F.lit(k))).alias("step"),
+                    F.col("depth"))
+            .filter(F.col("depth") >= F.col("step"))
+            .groupBy("step").agg(F.count("*").alias("n_keys")))
+
+
+def cohort_retention(df: DataFrame, key: str = "user_id",
+                     ts_col: str = "ts",
+                     max_offset_days: int | None = None) -> DataFrame:
+    """Classic cohort-retention matrix over an event stream.
+
+    cohort_day = the key's first-ever activity day; one output row per
+    (cohort_day, offset_days) with the count of distinct keys from
+    that cohort active exactly ``offset_days`` after it.
+
+    -> (cohort_day, offset_days, n_active); offset 0 row carries the
+    cohort size.
+
+    Scale shape: one exchange by key (the first-activity window), then
+    the per-(key, cohort, offset) dedup reuses that partitioning
+    (subset rule) and only the final O(cohorts x offsets) agg
+    re-shuffles — count(distinct) never sees raw rows twice.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    w = Window.partitionBy(key)
+    act = df.select(F.col(key), day.alias("day"))
+    act = act.withColumn("cohort_day", F.min("day").over(w))
+    act = act.withColumn(
+        "offset_days",
+        F.datediff(F.col("day"), F.col("cohort_day")).cast("int"))
+    if max_offset_days is not None:
+        act = act.filter(F.col("offset_days") <= max_offset_days)
+    # dedup (key, cohort, offset) first — partitioning by key is a
+    # subset of these keys, so this agg is exchange-free
+    per_key = act.groupBy(key, "cohort_day", "offset_days").agg(
+        F.lit(1).alias("one"))
+    return (per_key.groupBy("cohort_day", "offset_days")
+            .agg(F.count("*").cast("long").alias("n_active")))

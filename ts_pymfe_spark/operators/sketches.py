@@ -1,0 +1,125 @@
+"""Mergeable distinct-count sketches (HyperLogLog) with md5-derived
+registers, pure Spark SQL end to end.
+
+Engine addition (no reference counterpart — the reference computes
+nothing cardinality-shaped): at 100 TB "distinct users per day/tier"
+via ``count(distinct)`` shuffles every distinct value; the HLL sketch
+shuffles at most ``groups x 2^p`` (register, max_rho) pairs no matter
+how many rows scanned, and the register table itself is a mergeable,
+storable artifact (max per register — the same merge-on-read shape the
+tier store uses for moments).
+
+Determinism contract: the hash is the first 8 hex chars (32 bits) of
+``md5(salt | value)`` — no JVM/process-seeded hashing — so the sketch,
+its merge, and the estimate are pure functions of the input set and
+exactly reproducible in any engine with md5 (the DuckDB oracle runs
+the identical pipeline).  Estimator is classic Flajolet et al. HLL:
+``alpha_m * m^2 / sum_j 2^(-M_j)`` with the small-range linear-counting
+correction (E <= 2.5 m and empty registers present -> m * ln(m/V)).
+
+Float-exactness note (why the group sums hash cross-engine): each
+``2^(-M_j)`` is a binary fraction in [2^-(33-p), 2^-1] and a group sum
+has <= 2^p terms, so every partial sum spans < 53 bits and is EXACT in
+double regardless of Spark's aggregation order.  Only ``ln`` in the
+linear-counting branch is transcendental; the contract rounds to 6
+decimals on both engines.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    # Flajolet et al. 2007 bias constant (m >= 128 form).
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(df: DataFrame, keys: Sequence[str], value_col: str,
+               p: int = 10, salt: str = "hll") -> DataFrame:
+    """Per-group HLL register table: (keys..., register, max_rho).
+
+    One exchange of (keys, register) rows with a map-side partial max
+    — the shuffle is O(groups x 2^p) regardless of input rows.  Null
+    values are ignored (SQL count-distinct convention).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p={p} outside [4, 16]")
+    suffix_bits = 32 - p
+    mask = (1 << suffix_bits) - 1
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"),
+                           F.col(value_col).cast("string"))),
+            1, 8),
+        16, 10,
+    ).cast("long")
+    suffix = h.bitwiseAND(F.lit(mask))
+    rho = (
+        F.when(suffix == 0, F.lit(suffix_bits + 1))
+        .otherwise(F.instr(F.lpad(F.bin(suffix), suffix_bits, "0"), "1"))
+        .cast("int")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys,
+                F.shiftright(h, suffix_bits).cast("int").alias("register"),
+                rho.alias("rho"))
+        .groupBy(*keys, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables (same keys/p): max per (keys, register).
+
+    This is the scale story: daily sketches persist as tiny tables and
+    any date-range / rollup union re-aggregates with max — no re-scan
+    of raw data (same merge-on-read contract as the moment tiers).
+    """
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("register", "max_rho")]
+    return (out.groupBy(*keys, "register")
+            .agg(F.max("max_rho").alias("max_rho")))
+
+
+def hll_estimate(sketch: DataFrame, keys: Sequence[str],
+                 p: int = 10) -> DataFrame:
+    """Cardinality estimate from a register table.
+
+    -> (keys..., registers_used, est_distinct) where est_distinct is
+    rounded to 6 decimals (the only transcendental is the
+    linear-counting ``ln``).
+    """
+    m = 1 << p
+    alpha = _alpha(m)
+    used = F.count("*")
+    # unseen registers hold rho=0 and contribute 2^0 = 1 each
+    s_all = (F.lit(float(m)) - used.cast("double")
+             + F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))))
+    raw = F.lit(alpha * m * m) / s_all
+    v = F.lit(m) - used  # empty-register count
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+                 ).otherwise(raw)
+    return (sketch.groupBy(*keys)
+            .agg(used.cast("long").alias("registers_used"),
+                 (F.round(est, 6) + F.lit(0.0)).alias("est_distinct")))
+
+
+def hll_distinct(df: DataFrame, keys: Sequence[str], value_col: str,
+                 p: int = 10, salt: str = "hll") -> DataFrame:
+    """Sketch + estimate in one call (two tiny exchanges: the register
+    partial-max, then the O(groups x 2^p) estimate agg)."""
+    return hll_estimate(hll_sketch(df, keys, value_col, p, salt), keys, p)
+
+
+def hll_error_bound(p: int = 10) -> float:
+    """Published relative standard error 1.04 / sqrt(m)."""
+    return 1.04 / math.sqrt(1 << p)
