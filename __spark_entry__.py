@@ -2567,6 +2567,43 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+# bucketized point-in-interval join (operators/intervals.py): each
+# 'error' event opens a 6-hour incident window; count, per user, the
+# (click, window) containment pairs and distinct covered clicks.  The
+# Spark side buckets the time axis into an equi-join (no nested-loop,
+# plan-audited); the oracle states the raw range predicate.
+@register(
+    "error_window_clicks",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 21600 SECOND AS e
+      FROM events WHERE event_type = 'error'
+    ),
+    pt AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_points
+    FROM pt p JOIN iv i ON p.user_id = i.user_id
+                       AND p.ts >= i.s AND p.ts <= i.e
+    GROUP BY 1
+    """,
+)
+def q_error_window_clicks(spark, sf_dir):
+    from ts_pymfe_spark.operators.intervals import points_in_intervals
+
+    ev = read(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("start"),
+        (F.col("ts") + F.make_dt_interval(secs=F.lit(21600.0))).alias("end"),
+    )
+    pt = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    return points_in_intervals(pt, iv, bucket_s=21600)
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

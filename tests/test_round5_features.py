@@ -950,3 +950,72 @@ def test_cohort_retention_hand_case(spark):
     got = {(r0["cohort_day"].day, r0["offset_days"]): r0["n_active"]
            for r0 in cohort_retention(ev).collect()}
     assert got == {(1, 0): 2, (1, 1): 1, (1, 2): 1, (2, 0): 1, (2, 2): 1}
+
+
+# ---------------------------------------------------------------------------
+# bucketized interval join
+# ---------------------------------------------------------------------------
+
+def test_interval_join_hand_case(spark):
+    """Closed [start, end] containment; a point inside two overlapping
+    intervals yields two pairs; cross-bucket intervals still match
+    exactly once per true pair."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.intervals import interval_join
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 0, m, s)
+    pts = spark.createDataFrame(
+        [(1, 1, t(5)), (2, 1, t(10)), (3, 1, t(30)), (4, 2, t(5))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    ivs = spark.createDataFrame(
+        [  # covers buckets 0..2 at bucket_s=300 (5 min)
+            (100, 1, t(0), t(10)),       # contains pts 1, 2 (end closed)
+            (101, 1, t(4), t(6)),        # contains pt 1 again
+            (102, 2, t(50), t(55)),      # user 2, no points inside
+        ],
+        "iv_id long, user_id long, start timestamp_ntz, end timestamp_ntz",
+    )
+    got = sorted((r0["event_id"], r0["iv_iv_id"])
+                 for r0 in interval_join(pts, ivs, bucket_s=300).collect())
+    assert got == [(1, 100), (1, 101), (2, 100)]
+
+
+def test_interval_join_exactly_once_wide_interval(spark):
+    """An interval spanning many buckets joins each contained point
+    exactly once (the point's own bucket copy)."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.intervals import interval_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    pts = spark.createDataFrame(
+        [(i, 1, t(i)) for i in range(0, 50, 7)],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    ivs = spark.createDataFrame(
+        [(9, 1, t(0), t(59))],
+        "iv_id long, user_id long, start timestamp_ntz, end timestamp_ntz",
+    )
+    rows = interval_join(pts, ivs, bucket_s=60).collect()
+    assert sorted(r0["event_id"] for r0 in rows) == list(range(0, 50, 7))
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The bucketed form must plan as an equi-join: no
+    BroadcastNestedLoopJoin, no CartesianProduct."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.intervals import interval_join
+
+    t = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(1, 1, t)], "event_id long, user_id long, ts timestamp_ntz")
+    ivs = spark.createDataFrame(
+        [(9, 1, t, t)],
+        "iv_id long, user_id long, start timestamp_ntz, end timestamp_ntz")
+    plan = interval_join(pts, ivs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
