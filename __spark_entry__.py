@@ -2604,6 +2604,92 @@ def q_error_window_clicks(spark, sf_dir):
     return points_in_intervals(pt, iv, bucket_s=21600)
 
 
+# mergeable histogram quantiles (operators/histogram.py): per-user
+# p50/p95 of value from a 50-bin [0, 50] grid sketch — the DuckDB
+# oracle replays the identical bin / cumulate / interpolate pipeline.
+# Counts are ints; the interpolation arithmetic is the same expression
+# on both engines, rounded to 6 decimals.
+@register(
+    "hist_quantiles_user",
+    """
+    WITH v AS (
+      SELECT user_id,
+             least(greatest(CAST(value AS DOUBLE), 0.0), 50.0) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT user_id,
+             CAST(least(floor(v / 1.0), 49) AS INT) AS bin FROM v
+    ),
+    c AS (SELECT user_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT user_id, bin, cnt,
+             sum(cnt) OVER (PARTITION BY user_id ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY user_id) AS n
+      FROM c
+    ),
+    hit AS (
+      SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+             min(CASE WHEN cum >= 0.5 * n
+                      THEN struct_pack(bin := bin, cum := cum,
+                                       cnt := cnt) END) AS h50,
+             min(CASE WHEN cum >= 0.95 * n
+                      THEN struct_pack(bin := bin, cum := cum,
+                                       cnt := cnt) END) AS h95
+      FROM cum GROUP BY 1
+    )
+    SELECT user_id, n,
+           round(0.0 + 1.0 * (h50.bin + (0.5 * n - (h50.cum - h50.cnt))
+                              / h50.cnt), 6) + 0.0 AS p50,
+           round(0.0 + 1.0 * (h95.bin + (0.95 * n - (h95.cum - h95.cnt))
+                              / h95.cnt), 6) + 0.0 AS p95
+    FROM hit
+    """,
+)
+def q_hist_quantiles_user(spark, sf_dir):
+    from ts_pymfe_spark.operators.histogram import histogram_quantiles
+
+    ev = read(spark, sf_dir, "events")
+    return histogram_quantiles(
+        ev, ["user_id"], "value", qs=[0.5, 0.95],
+        lo=0.0, hi=50.0, bins=50)
+
+
+# exact heavy hitters over a JSON-extracted property
+# (operators/sketches.py heavy_hitters): top-5 props.k per event_type,
+# deterministic (count desc, value asc) tiebreak; exercises the JSON
+# path extraction surface on both engines.
+@register(
+    "top_props_by_type",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ),
+    c AS (SELECT event_type, k, CAST(count(*) AS BIGINT) AS cnt
+          FROM x WHERE k IS NOT NULL GROUP BY 1, 2),
+    rk AS (
+      SELECT event_type, k, cnt,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cnt DESC, k ASC) AS INT)
+               AS rank
+      FROM c
+    )
+    SELECT event_type, k, cnt, rank FROM rk WHERE rank <= 5
+    """,
+)
+def q_top_props_by_type(spark, sf_dir):
+    from ts_pymfe_spark.operators.sketches import heavy_hitters
+
+    ev = read(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    return heavy_hitters(ev, ["event_type"], "k", k=5)
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

@@ -1019,3 +1019,95 @@ def test_interval_join_no_nested_loop(spark):
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# histogram sketch quantiles + heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_histogram_quantile_hand_case(spark):
+    """10 values 0.5..9.5 on a [0,10) unit grid: each bin holds one
+    value, r = q*10 walks the cum counts; p50 -> bin 4 upper edge 5.0,
+    exact-rank boundary semantics."""
+    from ts_pymfe_spark.operators.histogram import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("g", i + 0.5) for i in range(10)], "g string, v double")
+    row = histogram_quantiles(df, ["g"], "v", qs=[0.5, 0.9],
+                              lo=0.0, hi=10.0, bins=10).first()
+    assert row["n"] == 10
+    # r=5 -> first cum>=5 is bin 4 (cum 5): est = 4 + (5-4)/1 = 5.0
+    assert row["p50"] == 5.0
+    assert row["p90"] == 9.0
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark):
+    """Estimates sit within one bin width of the exact quantile."""
+    import random
+
+    from ts_pymfe_spark.operators.histogram import histogram_quantiles
+
+    rng = random.Random(3)
+    vals = [rng.uniform(0, 40) for _ in range(2000)]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, v double")
+    row = histogram_quantiles(df, ["g"], "v", qs=[0.5, 0.95],
+                              lo=0.0, hi=50.0, bins=50).first()
+    s = sorted(vals)
+    for q, col in ((0.5, "p50"), (0.95, "p95")):
+        exact = s[int(q * len(s)) - 1]
+        assert abs(row[col] - exact) <= 1.0 + 1e-9  # one bin width
+
+
+def test_histogram_merge_equals_direct(spark):
+    """sum-merge of two sketches == sketch of the union (exact integer
+    counts), so daily sketches roll up losslessly."""
+    from ts_pymfe_spark.operators.histogram import (histogram_merge,
+                                                    histogram_sketch)
+
+    a = spark.createDataFrame([("g", float(i % 13)) for i in range(100)],
+                              "g string, v double")
+    b = spark.createDataFrame([("g", float(i % 7)) for i in range(50)],
+                              "g string, v double")
+    m = histogram_merge(histogram_sketch(a, ["g"], "v", 0.0, 20.0, 20),
+                        histogram_sketch(b, ["g"], "v", 0.0, 20.0, 20))
+    d = histogram_sketch(a.unionByName(b), ["g"], "v", 0.0, 20.0, 20)
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_histogram_clamps_out_of_range(spark):
+    """Values beyond the grid collapse onto the edge bins (open-ended
+    bucket convention) instead of erroring or disappearing."""
+    from ts_pymfe_spark.operators.histogram import histogram_sketch
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 0.0), ("g", 99.0)], "g string, v double")
+    got = {r["bin"]: r["cnt"]
+           for r in histogram_sketch(df, ["g"], "v", 0.0, 10.0, 10)
+           .collect()}
+    assert got == {0: 2, 9: 1}
+
+
+def test_heavy_hitters_hand_case(spark):
+    """Exact top-k with (count desc, value asc) tiebreak; nulls
+    excluded; rank dense from 1."""
+    from ts_pymfe_spark.operators.sketches import heavy_hitters
+
+    rows = ([("a", 1)] * 3 + [("a", 2)] * 3 + [("a", 3)]
+            + [("a", None)] * 5 + [("b", 9)])
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = [(r0["g"], r0["v"], r0["cnt"], r0["rank"])
+           for r0 in heavy_hitters(df, ["g"], "v", k=2)
+           .orderBy("g", "rank").collect()]
+    assert got == [("a", 1, 3, 1), ("a", 2, 3, 2), ("b", 9, 1, 1)]
+
+
+def test_heavy_hitters_counts_before_shuffle(spark):
+    """The first exchange must carry (keys, value, partial count), not
+    raw rows — partial_count below the exchange in the plan."""
+    from ts_pymfe_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a", 1)], "g string, v int")
+    plan = heavy_hitters(df, ["g"], "v")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "partial_count" in plan or "partial count" in plan.lower()

@@ -123,3 +123,29 @@ def hll_distinct(df: DataFrame, keys: Sequence[str], value_col: str,
 def hll_error_bound(p: int = 10) -> float:
     """Published relative standard error 1.04 / sqrt(m)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+def heavy_hitters(df: DataFrame, keys: Sequence[str], value_col: str,
+                  k: int = 5) -> DataFrame:
+    """Exact per-group top-k values by frequency, deterministic
+    tiebreak (count desc, value asc).  Nulls are excluded (their
+    asc-ordering differs across engines).
+
+    -> (keys..., value, cnt, rank), rank 1..k.
+
+    Scale shape: the count stage shuffles O(distinct (keys, value))
+    with a map-side partial — never raw rows; the rank window then
+    re-shuffles only those counts by the group keys.  (Partitioning by
+    (keys, value) cannot serve a keys-only window — the subset rule
+    runs the other way — so the second, tiny exchange is the honest
+    cost of exact top-k.)
+    """
+    from pyspark.sql import Window
+
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .groupBy(*keys, value_col)
+              .agg(F.count("*").cast("long").alias("cnt")))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("cnt").desc(), F.col(value_col).asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
