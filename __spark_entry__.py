@@ -2690,6 +2690,81 @@ def q_top_props_by_type(spark, sf_dir):
     return heavy_hitters(ev, ["event_type"], "k", k=5)
 
 
+# first-order Markov transition matrix of event types per user stream
+# (operators/funnel.py transition_matrix): lag pairs -> O(states^2)
+# counts -> row-normalized probabilities.
+@register(
+    "event_transitions",
+    """
+    WITH p AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_state,
+             event_type AS to_state
+      FROM events
+    ),
+    c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT)
+            AS n_transitions
+          FROM p WHERE from_state IS NOT NULL GROUP BY 1, 2)
+    SELECT from_state, to_state, n_transitions,
+           round(n_transitions /
+                 sum(n_transitions) OVER (PARTITION BY from_state), 6)
+             + 0.0 AS prob
+    FROM c
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    from ts_pymfe_spark.operators.funnel import transition_matrix
+
+    return transition_matrix(read(spark, sf_dir, "events"),
+                             tiebreak_col="event_id")
+
+
+# trailing-window z-score anomalies (operators/local_stats.py
+# rolling_anomalies): per conv, count of |z| > 2 points against the
+# 20-point trailing baseline (moment-algebra variance, min 10 points).
+@register(
+    "anomaly_counts",
+    f"""
+    WITH s AS ({{series}}),
+    zc AS (
+      SELECT conv_id, value,
+             count(value) OVER w AS n,
+             sum(value) OVER w AS s1,
+             sum(value * value) OVER w AS s2
+      FROM s
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT conv_id,
+             CASE WHEN n >= 10 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                  THEN (value - s1 / n)
+                       / sqrt((s2 - s1 * s1 / n) / (n - 1))
+                  END AS zv
+      FROM zc
+    )
+    SELECT conv_id,
+           CAST(count(zv) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN abs(zv) > 2.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies,
+           round(max(abs(zv)), 6) + 0.0 AS max_abs_z
+    FROM z GROUP BY conv_id
+    """.replace("{series}", SERIES_CTE),
+)
+def q_anomaly_counts(spark, sf_dir):
+    from ts_pymfe_spark.operators.local_stats import rolling_anomalies
+
+    out = rolling_anomalies(_series(spark, sf_dir), k=20, z=2.0,
+                            min_n=10)
+    return out.groupBy("conv_id").agg(
+        F.count("zscore").cast("long").alias("n_scored"),
+        F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0))
+        .cast("long").alias("n_anomalies"),
+        (F.round(F.max(F.abs(F.col("zscore"))), 6) + F.lit(0.0))
+        .alias("max_abs_z"),
+    )
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

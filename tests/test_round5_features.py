@@ -1111,3 +1111,59 @@ def test_heavy_hitters_counts_before_shuffle(spark):
     plan = heavy_hitters(df, ["g"], "v")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# transition matrix + rolling anomalies
+# ---------------------------------------------------------------------------
+
+def test_transition_matrix_hand_case(spark):
+    """a->b->a->b and c for user 1; independent user 2 stream; probs
+    normalize per from_state row."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.funnel import transition_matrix
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    ev = spark.createDataFrame(
+        [(1, 1, t(0), "a"), (2, 1, t(1), "b"), (3, 1, t(2), "a"),
+         (4, 1, t(3), "b"), (5, 1, t(4), "c"),
+         (6, 2, t(0), "a"), (7, 2, t(1), "a")],
+        "event_id long, user_id long, ts timestamp_ntz, event_type string",
+    )
+    got = {(r0["from_state"], r0["to_state"]):
+           (r0["n_transitions"], r0["prob"])
+           for r0 in transition_matrix(ev, tiebreak_col="event_id")
+           .collect()}
+    assert got[("a", "b")] == (2, pytest.approx(2 / 3))
+    assert got[("a", "a")] == (1, pytest.approx(1 / 3))
+    assert got[("b", "a")] == (1, 0.5)
+    assert got[("b", "c")] == (1, 0.5)
+    assert ("c", "a") not in got  # stream ends at c
+
+
+def test_rolling_anomalies_hand_case(spark):
+    """Constant baseline then a spike: the spike scores, the baseline
+    rows before min_n do not, and the spike never masks itself."""
+    from ts_pymfe_spark.operators.local_stats import rolling_anomalies
+
+    rows = [("c", i, float(i % 2)) for i in range(12)] + [("c", 12, 50.0)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, value double")
+    out = {r0["turn_idx"]: r0
+           for r0 in rolling_anomalies(df, k=10, z=3.0, min_n=10)
+           .collect()}
+    assert out[5]["zscore"] is None          # only 5 baseline points
+    assert out[12]["is_anomaly"] is True     # spike vs 0/1 alternation
+    assert out[12]["zscore"] > 3
+    assert out[11]["is_anomaly"] is False    # in-pattern point
+
+
+def test_rolling_anomalies_single_exchange(spark):
+    from ts_pymfe_spark.operators.local_stats import rolling_anomalies
+
+    df = spark.createDataFrame([("c", 0, 1.0)],
+                               "conv_id string, turn_idx int, value double")
+    plan = rolling_anomalies(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Following" not in plan

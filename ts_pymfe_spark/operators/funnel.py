@@ -95,6 +95,36 @@ def funnel_counts(df: DataFrame, steps: Sequence[Column],
             .groupBy("step").agg(F.count("*").alias("n_keys")))
 
 
+def transition_matrix(df: DataFrame, key: str = "user_id",
+                      ts_col: str = "ts", state_col: str = "event_type",
+                      tiebreak_col: str | None = None) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive states of each key's event stream.
+
+    -> (from_state, to_state, n_transitions, prob); prob normalizes
+    over each from_state row.
+
+    Scale shape: one exchange by key for the lag window; the
+    (from, to) count is a tiny O(states^2) aggregation with map-side
+    partials, and the row-normalizing window runs over that matrix,
+    not the raw stream.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    pairs = (df.select(F.lag(state_col).over(w).alias("from_state"),
+                       F.col(state_col).alias("to_state"))
+             .filter(F.col("from_state").isNotNull()))
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("long").alias("n_transitions"))
+    wrow = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "prob",
+        F.round(F.col("n_transitions")
+                / F.sum("n_transitions").over(wrow), 6) + F.lit(0.0))
+
+
 def cohort_retention(df: DataFrame, key: str = "user_id",
                      ts_col: str = "ts",
                      max_offset_days: int | None = None) -> DataFrame:

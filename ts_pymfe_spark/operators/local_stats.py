@@ -209,3 +209,36 @@ def tiled_stats(df: DataFrame, num_tiles: int = 16, value: str = "value") -> Dat
             F.count(v).alias("tile_n"),
         )
     )
+
+
+def rolling_anomalies(df: DataFrame, k: int = 20, z: float = 3.0,
+                      value: str = "value",
+                      min_n: int = 10) -> DataFrame:
+    """Trailing-window z-score anomaly flags (engine addition — the
+    streaming-compatible outlier detector the reference lacks; its
+    outlier trims are whole-series).
+
+    The baseline is the k rows strictly BEFORE the current one (the
+    point never masks itself); the variance comes from explicit
+    sum/sum-of-squares moment algebra over the frame — the same
+    cross-engine-stable form the moving_* family uses — not the
+    engine's stddev aggregate.  Rows with fewer than ``min_n``
+    baseline points are not scored.
+
+    Adds ``zscore`` (round-6) and ``is_anomaly``.  One exchange (the
+    conv window).
+    """
+    fr = _w().rowsBetween(-k, -1)
+    v = F.col(value)
+    n = F.count(v).over(fr).cast("double")
+    s1 = F.sum(v).over(fr)
+    s2 = F.sum(v * v).over(fr)
+    mu = s1 / n
+    sd2 = (s2 - s1 * s1 / n) / (n - 1)
+    zc = F.when((n >= min_n) & (sd2 > 0),
+                (v - mu) / F.sqrt(sd2))
+    return df.select(
+        "*",
+        (F.round(zc, 6) + F.lit(0.0)).alias("zscore"),
+        F.when(zc.isNotNull(), F.abs(zc) > z).alias("is_anomaly"),
+    )
