@@ -131,6 +131,9 @@ def run_headline(spark) -> dict[str, float]:
         "exact_dedup", "token_stats", "bpe_token_stats", "ngram_topk",
         "cdc_dedup", "doc_fingerprint", "minhash_lsh_candidates",
         "ann_topk", "ann_lsh",
+        # round-5 analytics additions (all over the events table)
+        "hll_users_daily", "hist_quantiles_user", "funnel_vcp",
+        "error_window_clicks",
     ]
     qs = E.queries()
     # Untimed warm-up: the first query otherwise absorbs session JIT +
