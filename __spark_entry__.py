@@ -2765,6 +2765,90 @@ def q_anomaly_counts(spark, sf_dir):
     )
 
 
+# deterministic weighted sampling without replacement (textpipe.py
+# weighted_sample, Efraimidis-Spirakis): top-20 docs per lang by the
+# exponential draw -ln(u)/n_chars with md5-uniform u — the oracle
+# replays the draw and rank; the bucket pre-prune on the Spark side is
+# superset-preserving so both sides rank the same global top-k.
+@register(
+    "weighted_sample_docs",
+    f"""
+    WITH d AS (
+      SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS w,
+             ({_HEX2INT.format(h="substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15)")}
+              + 1.0) / 1152921504606846976.0 AS u
+      FROM documents WHERE n_chars > 0
+    ),
+    k AS (SELECT lang, doc_id, -ln(u) / w AS es_key FROM d),
+    rk AS (
+      SELECT lang, doc_id, es_key,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY es_key ASC, doc_id ASC)
+                  AS INT) AS rank
+      FROM k
+    )
+    SELECT lang, doc_id, round(es_key, 6) + 0.0 AS es_key, rank
+    FROM rk WHERE rank <= 20
+    """,
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    out = TP.weighted_sample(read(spark, sf_dir, "documents"), k=20)
+    return out.select("lang", "doc_id", "es_key", "rank")
+
+
+# trailing-7-day distinct users per day from DAILY HLL sketches
+# (sketches.py hll_rolling): the sliding window is 7 register-table
+# max-merges, never 7 raw re-scans — the oracle fans the daily sketch
+# out the same way.
+@register(
+    "hll_users_weekly",
+    f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             {_HEX2INT.format(h="substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 8)")} AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    rg AS (
+      SELECT day, h >> 22 AS register,
+             CASE WHEN (h & 4194303) = 0 THEN 23
+                  ELSE strpos(lpad(bin(h & 4194303), 22, '0'), '1')
+                  END AS rho
+      FROM h
+    ),
+    s AS (SELECT day, register, max(rho) AS max_rho
+          FROM rg GROUP BY 1, 2),
+    fan AS (
+      SELECT s.day + CAST(g.i AS INT) AS day, s.register, s.max_rho
+      FROM s CROSS JOIN
+           (SELECT unnest(generate_series(0, 6)) AS i) g
+    ),
+    m AS (SELECT day, register, max(max_rho) AS max_rho
+          FROM fan GROUP BY 1, 2
+          HAVING day IN (SELECT day FROM s)),
+    e AS (SELECT day, count(*) AS used,
+                 (1024 - count(*)) + sum(power(2.0, -max_rho)) AS s_all
+          FROM m GROUP BY 1)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(used AS BIGINT) AS registers_used,
+           round(CASE WHEN {_HLL_ALPHA_M2!r} / s_all <= 2560.0
+                       AND used < 1024
+                      THEN 1024.0 * ln(1024.0 / (1024 - used))
+                      ELSE {_HLL_ALPHA_M2!r} / s_all END, 6) + 0.0
+           AS est_distinct
+    FROM e
+    """,
+)
+def q_hll_users_weekly(spark, sf_dir):
+    from ts_pymfe_spark.operators.sketches import hll_rolling, hll_sketch
+
+    ev = read(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id")
+    sk = hll_sketch(ev, ["day"], "user_id", p=10)
+    out = hll_rolling(sk, "day", window_days=7, p=10)
+    return out.select(F.col("day").cast("string").alias("day"),
+                      "registers_used", "est_distinct")
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

@@ -1167,3 +1167,87 @@ def test_rolling_anomalies_single_exchange(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Following" not in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling + rolling HLL
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_matches_brute_force(spark):
+    """The bucket pre-prune returns EXACTLY the global top-k of the
+    E-S keys (superset-preserving prune), at any parallelism."""
+    import hashlib
+    import math
+
+    rows = [(i, "en" if i % 3 else "de", 10 + (i * 7) % 90)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+    def es_key(doc_id, w):
+        h = int(hashlib.md5(f"wsamp:{doc_id}".encode())
+                .hexdigest()[:15], 16)
+        u = (h + 1.0) / 16 ** 15
+        return -math.log(u) / w
+
+    expect = {}
+    for doc_id, lang, w in rows:
+        expect.setdefault(lang, []).append((es_key(doc_id, w), doc_id))
+    for lang in expect:
+        expect[lang] = [d for _, d in sorted(expect[lang])[:10]]
+
+    for parts in (1, 7):
+        got = {}
+        out = TP.weighted_sample(df.repartition(parts), k=10,
+                                 candidate_buckets=4)
+        for r0 in out.orderBy("lang", "rank").collect():
+            got.setdefault(r0["lang"], []).append(r0["doc_id"])
+        assert got == expect
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 0), (2, "en", -3), (3, "en", 5)],
+        "doc_id long, lang string, n_chars long")
+    out = TP.weighted_sample(df, k=10).collect()
+    assert [r0["doc_id"] for r0 in out] == [3]
+
+
+def test_weighted_sample_is_weight_biased(spark):
+    """Sanity: a doc with 100x the weight of the rest lands in a
+    small sample far more often than uniform would allow — checked
+    across salts (independent deterministic draws)."""
+    rows = [(i, "en", 10000 if i == 0 else 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    hits = sum(
+        any(r0["doc_id"] == 0
+            for r0 in TP.weighted_sample(df, k=5, salt=str(s)).collect())
+        for s in range(12)
+    )
+    # P(in top-5) ~ 1-(1-w0/W)^5 ~ 0.93 each; uniform would be ~5%.
+    assert hits >= 8
+
+
+def test_hll_rolling_equals_window_union(spark):
+    """Each day's trailing-7 estimate equals hll_distinct on the raw
+    union of those days — fan-out + max-merge is exactly the window
+    union of sketches."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.sketches import (hll_distinct,
+                                                   hll_rolling, hll_sketch)
+
+    rows = []
+    for d in range(10):
+        for u in range(d * 20, d * 20 + 50):  # overlapping user ranges
+            rows.append((dt.date(2024, 1, 1 + d), u % 130))
+    df = spark.createDataFrame(rows, "day date, user_id long")
+    sk = hll_sketch(df, ["day"], "user_id")
+    got = {str(r0["day"]): r0["est_distinct"]
+           for r0 in hll_rolling(sk, "day", window_days=7).collect()}
+    for d in (0, 4, 9):
+        day = dt.date(2024, 1, 1 + d)
+        lo = dt.date(2024, 1, max(1, 1 + d - 6))
+        window = df.filter((F.col("day") >= lo) & (F.col("day") <= day)) \
+            .withColumn("g", F.lit("g"))
+        want = hll_distinct(window, ["g"], "user_id").first()["est_distinct"]
+        assert got[str(day)] == want, (d, got[str(day)], want)

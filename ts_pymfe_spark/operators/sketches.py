@@ -149,3 +149,34 @@ def heavy_hitters(df: DataFrame, keys: Sequence[str], value_col: str,
         F.col("cnt").desc(), F.col(value_col).asc())
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def hll_rolling(sketch: DataFrame, day_col: str = "day",
+                window_days: int = 7, p: int = 10) -> DataFrame:
+    """Trailing-N-day distinct estimate per day from DAILY sketches —
+    the killer mergeability demo: a 7-day sliding distinct costs 7
+    sketch merges (each O(2^p) rows), never 7 re-scans of raw data.
+
+    Each (day, register, rho) row is exploded to the ``window_days``
+    future days it influences, max-merged per (day, register), and
+    estimated; output days are restricted to days that actually occur
+    in the input sketch (no phantom tail after the last day).
+
+    ``day_col`` must be a DATE column.
+    """
+    keys = [c for c in sketch.columns if c not in ("register", "max_rho")]
+    if day_col not in keys:
+        raise ValueError(f"{day_col} not in sketch keys {keys}")
+    fan = (
+        sketch.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1)))
+            .alias("_i"))
+        .withColumn(day_col, F.date_add(F.col(day_col), F.col("_i")))
+        .drop("_i")
+    )
+    merged = fan.groupBy(*keys, "register").agg(
+        F.max("max_rho").alias("max_rho"))
+    days = sketch.select(day_col).distinct()
+    merged = merged.join(F.broadcast(days), day_col, "left_semi")
+    return hll_estimate(merged, keys, p)

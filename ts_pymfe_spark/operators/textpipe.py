@@ -1487,3 +1487,46 @@ def cluster_cap(df: DataFrame, centroids: list[list[float]],
         .withColumn("rank", F.row_number().over(w))
         .withColumn("kept", F.col("rank") <= cap)
     )
+
+
+def weighted_sample(df: DataFrame, k: int, strata_col: str = "lang",
+                    weight_col: str = "n_chars", id_col: str = "doc_id",
+                    salt: str = "",
+                    candidate_buckets: int = 32) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): per stratum, keep the k rows with the
+    smallest exponential draw ``e_i = -ln(u_i) / w_i`` — equivalent to
+    weighted sampling by ``w`` without replacement — where ``u_i`` is
+    the md5-uniform of the row id, so the sample is a pure function of
+    (id, weight): partition-invariant, re-runnable, oracle-able.
+
+    Adds ``rank`` (1..k) and ``es_key`` (the draw, round-6).  Rows
+    with weight <= 0 are excluded.
+
+    Scale shape: a single stratum can hold billions of rows, and a
+    rank window straight over it sorts the whole stratum in one task.
+    Instead candidates are pre-pruned per (stratum, hash bucket) —
+    top-k of any bucket partition is a superset-preserving prune, the
+    global top-k survives by construction — so the final window sorts
+    at most ``k x candidate_buckets`` rows per stratum.
+    """
+    w = F.col(weight_col).cast("double")
+    hx = F.substring(
+        F.md5(F.concat(F.lit(f"wsamp{salt}:"),
+                       F.col(id_col).cast("string"))), 1, 15)
+    # (h+1)/16^15 in (0, 1]: ln never sees 0
+    u = (F.conv(hx, 16, 10).cast("double") + 1.0) / float(16 ** 15)
+    key = -F.log(u) / w
+    cand = (df.filter(w > 0)
+            .withColumn("es_key", key)
+            .withColumn("_b", F.pmod(F.xxhash64(F.col(id_col)),
+                                     F.lit(candidate_buckets))))
+    wb = Window.partitionBy(strata_col, "_b").orderBy(
+        F.col("es_key").asc(), F.col(id_col).asc())
+    pruned = (cand.withColumn("_r", F.row_number().over(wb))
+              .filter(F.col("_r") <= k).drop("_r", "_b"))
+    wg = Window.partitionBy(strata_col).orderBy(
+        F.col("es_key").asc(), F.col(id_col).asc())
+    return (pruned.withColumn("rank", F.row_number().over(wg))
+            .filter(F.col("rank") <= k)
+            .withColumn("es_key", F.round("es_key", 6) + F.lit(0.0)))
