@@ -2849,6 +2849,49 @@ def q_hll_users_weekly(spark, sf_dir):
                       "registers_used", "est_distinct")
 
 
+# M4 visualization downsample (operators/downsample.py, Jugel et al.
+# VLDB 2014): per (conv, bucket) min/max/first/last with positions —
+# all four argreductions are deterministic struct min/max on both
+# engines (value ties resolved by position).
+@register(
+    "m4_downsample",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    r AS (
+      SELECT conv_id, turn_idx, value,
+             CAST(turn_idx AS DOUBLE) AS o,
+             min(CAST(turn_idx AS DOUBLE))
+               OVER (PARTITION BY conv_id) AS lo,
+             max(CAST(turn_idx AS DOUBLE))
+               OVER (PARTITION BY conv_id) AS hi
+      FROM s
+    ),
+    b AS (
+      SELECT conv_id, turn_idx, value,
+             CAST(least(floor((o - lo)
+                              / (CASE WHEN hi > lo THEN hi - lo
+                                      ELSE 1.0 END) * 16), 15)
+                  AS INT) AS bucket
+      FROM r
+    )
+    SELECT conv_id, bucket, CAST(count(*) AS BIGINT) AS n,
+           (min(struct_pack(v := value, i := turn_idx))).v AS min_v,
+           (min(struct_pack(v := value, i := turn_idx))).i AS min_i,
+           (max(struct_pack(v := value, i := turn_idx))).v AS max_v,
+           (max(struct_pack(v := value, i := turn_idx))).i AS max_i,
+           (min(struct_pack(i := turn_idx, v := value))).v AS first_v,
+           (min(struct_pack(i := turn_idx, v := value))).i AS first_i,
+           (max(struct_pack(i := turn_idx, v := value))).v AS last_v,
+           (max(struct_pack(i := turn_idx, v := value))).i AS last_i
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_m4_downsample(spark, sf_dir):
+    from ts_pymfe_spark.operators.downsample import m4_downsample
+
+    return m4_downsample(_series(spark, sf_dir), n_buckets=16)
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

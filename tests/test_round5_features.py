@@ -1251,3 +1251,110 @@ def test_hll_rolling_equals_window_union(spark):
             .withColumn("g", F.lit("g"))
         want = hll_distinct(window, ["g"], "user_id").first()["est_distinct"]
         assert got[str(day)] == want, (d, got[str(day)], want)
+
+
+# ---------------------------------------------------------------------------
+# M4 + LTTB downsampling
+# ---------------------------------------------------------------------------
+
+def _naive_lttb(x, y, n_out):
+    """Independent point-at-a-time re-derivation of Steinarsson 2013
+    (explicit triangle-area formula, no vectorization)."""
+    n = len(x)
+    if n_out >= n:
+        return list(range(n))
+    edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+    keep = [0]
+    a = 0
+    for i in range(n_out - 2):
+        s, e = edges[i], edges[i + 1]
+        ns, ne = edges[i + 1], (edges[i + 2] if i + 2 < len(edges) else n)
+        cx = sum(x[ns:ne]) / (ne - ns)
+        cy = sum(y[ns:ne]) / (ne - ns)
+        best, best_area = s, -1.0
+        for j in range(s, e):
+            area = abs((x[a] - cx) * (y[j] - y[a])
+                       - (x[a] - x[j]) * (cy - y[a])) / 2.0
+            if area > best_area:
+                best, best_area = j, area
+        keep.append(best)
+        a = best
+    keep.append(n - 1)
+    return keep
+
+
+def test_lttb_select_matches_naive():
+    from ts_pymfe_spark.operators.downsample import lttb_select
+
+    rng = np.random.default_rng(5)
+    for n, n_out in ((100, 10), (257, 31), (50, 3), (64, 64), (10, 20)):
+        x = np.arange(n, dtype=float)
+        y = rng.normal(size=n).cumsum()
+        got = list(lttb_select(x, y, n_out))
+        assert got == _naive_lttb(list(x), list(y), n_out), (n, n_out)
+
+
+def test_lttb_keeps_endpoints_and_spikes():
+    from ts_pymfe_spark.operators.downsample import lttb_select
+
+    y = np.zeros(200)
+    y[77] = 100.0  # an isolated spike must survive downsampling
+    keep = lttb_select(np.arange(200.0), y, 20)
+    assert keep[0] == 0 and keep[-1] == 199
+    assert 77 in keep
+
+
+def test_lttb_downsample_grouped(spark):
+    """The Spark grouped kernel returns exactly the per-series numpy
+    selection, for every series."""
+    from ts_pymfe_spark.operators.downsample import (lttb_downsample,
+                                                     lttb_select)
+
+    rng = np.random.default_rng(9)
+    rows = []
+    series = {}
+    for c in ("a", "b", "c"):
+        y = rng.normal(size=120).cumsum()
+        series[c] = y
+        rows += [(c, i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, value double")
+    out = lttb_downsample(df, n_out=12)
+    got = {}
+    for r0 in out.collect():
+        got.setdefault(r0["conv_id"], []).append(r0["turn_idx"])
+    for c, y in series.items():
+        keep = lttb_select(np.arange(120.0), y, 12)
+        assert sorted(got[c]) == sorted(keep.tolist())
+
+
+def test_m4_downsample_hand_case(spark):
+    """8 points, 2 buckets: min/max/first/last per bucket with
+    deterministic tie positions (value tie -> min keeps the smaller
+    index, max the larger)."""
+    from ts_pymfe_spark.operators.downsample import m4_downsample
+
+    vals = [5.0, 1.0, 1.0, 9.0, 2.0, 2.0, 7.0, 3.0]
+    df = spark.createDataFrame(
+        [("c", i, v) for i, v in enumerate(vals)],
+        "conv_id string, turn_idx long, value double")
+    got = {r0["bucket"]: r0
+           for r0 in m4_downsample(df, n_buckets=2).collect()}
+    b0, b1 = got[0], got[1]
+    # span 0..7 -> bucket 0 holds idx 0..3, bucket 1 idx 4..7
+    assert (b0["min_v"], b0["min_i"]) == (1.0, 1)   # tie -> idx 1 not 2
+    assert (b0["max_v"], b0["max_i"]) == (9.0, 3)
+    assert (b0["first_v"], b0["last_v"]) == (5.0, 9.0)
+    assert (b1["min_v"], b1["min_i"]) == (2.0, 4)
+    assert (b1["max_v"], b1["max_i"]) == (7.0, 6)
+    assert (b1["first_i"], b1["last_i"]) == (4, 7)
+
+
+def test_m4_single_exchange(spark):
+    """The span window and the bucket groupBy share the conv_id
+    partitioning -> one exchange."""
+    from ts_pymfe_spark.operators.downsample import m4_downsample
+
+    df = spark.createDataFrame([("c", 0, 1.0)],
+                               "conv_id string, turn_idx long, value double")
+    plan = m4_downsample(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
