@@ -2892,6 +2892,41 @@ def q_m4_downsample(spark, sf_dir):
     return m4_downsample(_series(spark, sf_dir), n_buckets=16)
 
 
+# LTTB downsample contract (downsample.py lttb_downsample): the pick
+# SET is not SQL-expressible (sequential selection), so the query
+# emits its SQL-derivable invariants — pick count = least(n, n_out),
+# endpoints always kept (first/last = series min/max turn_idx), and a
+# picks_ok flag asserting every picked (turn_idx, value) is a source
+# point verbatim (the gorilla_roundtrip oracle pattern: the machinery
+# runs, its invariants hash).
+@register(
+    "lttb_invariants",
+    f"""
+    WITH s AS ({SERIES_CTE})
+    SELECT conv_id,
+           CAST(least(count(*), 16) AS BIGINT) AS n_picks,
+           min(turn_idx) AS first_i,
+           max(turn_idx) AS last_i,
+           TRUE AS picks_ok
+    FROM s GROUP BY conv_id
+    """,
+)
+def q_lttb_invariants(spark, sf_dir):
+    from ts_pymfe_spark.operators.downsample import lttb_downsample
+
+    s = _series(spark, sf_dir)
+    picks = lttb_downsample(s, n_out=16)
+    src = s.select("conv_id", "turn_idx", F.col("value").alias("_sv"))
+    j = picks.join(src, ["conv_id", "turn_idx"], "left")
+    return j.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_picks"),
+        F.min("turn_idx").alias("first_i"),
+        F.max("turn_idx").alias("last_i"),
+        (F.sum(F.when(F.col("value") == F.col("_sv"), 1).otherwise(0))
+         == F.count("*")).alias("picks_ok"),
+    )
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(
