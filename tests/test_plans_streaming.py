@@ -722,3 +722,37 @@ def test_dedup_stream_watermark_bounds_state(spark, tmp_path):
     got = spark.table("evict_docs").orderBy("doc_id").toPandas()
     assert got["doc_id"].tolist() == [1, 2, 3, 4]
     assert got["text"].tolist() == ["aaa", "filler", "filler2", "aaa"]
+
+
+def test_streaming_hll_matches_batch(spark, turns, tmp_path):
+    """Streamed per-microbatch HLL partials, max-merged on read, equal
+    the batch sketch over the same rows — register-exact, so the
+    estimates match to the last ulp."""
+    from ts_pymfe_spark.operators.sketches import hll_estimate, hll_sketch
+    from ts_pymfe_spark.streaming.rollup_stream import (
+        read_hll_sketch,
+        run_hll_stream_to_store,
+    )
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "hll_in")
+    store = str(tmp_path / "hll_store")
+    ckpt = str(tmp_path / "hll_ckpt")
+    turns.repartition(16).write.mode("overwrite").parquet(in_dir)
+
+    run_hll_stream_to_store(spark, in_dir, store, ckpt)
+    got = read_hll_sketch(spark, store)
+    exp = hll_sketch(
+        spark.read.parquet(in_dir)
+        .select(F.to_date("ts").alias("day"), "conv_id"),
+        ["day"], "conv_id")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+    ge = hll_estimate(got, ["day"]).collect()
+    ee = {(r["day"],): r["est_distinct"]
+          for r in hll_estimate(exp, ["day"]).collect()}
+    assert all(ee[(r["day"],)] == r["est_distinct"] for r in ge)
+    # more than one microbatch actually ran (16 files / 8 per trigger)
+    import os
+    assert len([d for d in os.listdir(store)
+                if d.startswith("batch=")]) >= 2

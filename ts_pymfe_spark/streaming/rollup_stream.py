@@ -366,3 +366,46 @@ def read_all_tiers(spark: SparkSession, store_dir: str,
     tiers["1h"] = _union(branches_1h)
     tiers["1d"] = _union([cascade(b, "1d") for b in branches_1h])
     return tiers
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL sketch maintenance (round 5): same partials +
+# merge-on-read contract as the moment tiers — each microbatch appends
+# its own register table; a read max-merges them.  Exact regardless of
+# arrival order (max is associative/commutative/idempotent-per-value),
+# so late data needs no watermark and replays are idempotent (a batch
+# overwrites its own deterministic subdirectory).
+# ---------------------------------------------------------------------------
+
+def run_hll_stream_to_store(spark: SparkSession, input_dir: str,
+                            store_dir: str, checkpoint_dir: str,
+                            value_col: str = "conv_id", p: int = 10,
+                            max_files_per_trigger: int = 8) -> None:
+    """availableNow streaming job: per-batch daily HLL register
+    partials for ``value_col`` appended under ``store_dir``."""
+    from ts_pymfe_spark.operators.sketches import hll_sketch
+
+    def sketch_batch(batch_turns: DataFrame, batch_id: int) -> None:
+        ev = batch_turns.select(F.to_date("ts").alias("day"), value_col)
+        sk = hll_sketch(ev, ["day"], value_col, p=p)
+        sk.write.mode("overwrite").parquet(
+            f"{store_dir}/batch={batch_id}")
+
+    q = (
+        stream_turns(spark, input_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hll_sketch(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge-on-read of the streamed register partials: one max per
+    (day, register) — feed to ``hll_estimate``/``hll_rolling``."""
+    from ts_pymfe_spark.operators.sketches import hll_merge
+
+    # `batch` is the partition-discovery column of the store layout,
+    # not a sketch key — keeping it would merge per-batch, not across
+    return hll_merge(spark.read.parquet(store_dir).drop("batch"))
