@@ -2927,6 +2927,78 @@ def q_lttb_invariants(spark, sf_dir):
     )
 
 
+# time-weighted average per (user, day) (counters.py
+# time_weighted_avg, TimescaleDB time_weight LOCF semantics): each
+# sample weighted by seconds until its successor, clipped to the
+# bucket edge.
+@register(
+    "twa_daily",
+    """
+    WITH e AS (
+      SELECT user_id, ts, CAST(value AS DOUBLE) AS v,
+             CAST(epoch(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS es
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, v, es, floor(es / 86400) AS bn,
+             lead(es) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+      FROM e
+    ),
+    d AS (
+      SELECT user_id,
+             make_timestamp(CAST(bn * 86400 AS BIGINT) * 1000000)
+               AS bucket_start,
+             v,
+             least(coalesce(nxt, (bn + 1) * 86400),
+                   (bn + 1) * 86400) - es AS dt
+      FROM s
+    )
+    SELECT user_id, bucket_start,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           round(sum(dt), 6) AS covered_s,
+           round(sum(v * dt) / sum(dt), 6) + 0.0 AS twa
+    FROM d GROUP BY 1, 2
+    """,
+)
+def q_twa_daily(spark, sf_dir):
+    from ts_pymfe_spark.operators.counters import time_weighted_avg
+
+    return time_weighted_avg(read(spark, sf_dir, "events"),
+                             bucket_s=86400)
+
+
+# peak sliding-window event rate per user (counters.py burst_stats):
+# max events in any trailing hour, with the earliest peak instant.
+# Epoch seconds are floor-truncated identically on both engines (Spark
+# unix_timestamp truncates; DuckDB epoch keeps fractions).
+@register(
+    "burst_stats",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, ts, es,
+             count(*) OVER (PARTITION BY user_id ORDER BY es
+                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS burst
+      FROM e
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(burst) AS BIGINT) AS peak_burst,
+           (max(struct_pack(b := burst, ne := -es, t := ts))).t
+             AS peak_at
+    FROM c GROUP BY 1
+    """,
+)
+def q_burst_stats(spark, sf_dir):
+    from ts_pymfe_spark.operators.counters import burst_stats
+
+    return burst_stats(read(spark, sf_dir, "events"), window_s=3600)
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

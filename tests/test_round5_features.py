@@ -1358,3 +1358,81 @@ def test_m4_single_exchange(spark):
                                "conv_id string, turn_idx long, value double")
     plan = m4_downsample(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average + burst detection
+# ---------------------------------------------------------------------------
+
+def test_time_weighted_avg_hand_case(spark):
+    """LOCF weighting: value 10 held 30 s then 20 held 30 s inside a
+    60 s bucket -> twa 15; the bucket-final sample's weight clips at
+    the bucket edge, never leaking into the next bucket."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.counters import time_weighted_avg
+
+    t = lambda m, s: dt.datetime(2024, 1, 1, 0, m, s)
+    df = spark.createDataFrame(
+        [(1, t(0, 0), 10.0), (1, t(0, 30), 20.0),  # bucket 0
+         (1, t(1, 15), 99.0)],                     # bucket 1 (45 s left)
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    got = {r0["bucket_start"].minute: r0
+           for r0 in time_weighted_avg(df, bucket_s=60).collect()}
+    b0 = got[0]
+    assert b0["covered_s"] == 60.0 and b0["twa"] == 15.0
+    b1 = got[1]
+    assert b1["covered_s"] == 45.0 and b1["twa"] == 99.0
+
+
+def test_time_weighted_avg_irregular_vs_plain_mean(spark):
+    """A value held 99% of the time dominates the TWA even when most
+    SAMPLES carry the other value (the exact failure of plain avg)."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.counters import time_weighted_avg
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, t(0), 100.0)] + [(1, t(50 + i), 0.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, value double")
+    row = time_weighted_avg(df, bucket_s=60).first()
+    assert row["twa"] == pytest.approx(100 * 50 / 60, abs=1e-6)
+
+
+def test_burst_stats_hand_case(spark):
+    """Trailing 10 s frame: a 3-event cluster peaks at 3; the peak
+    instant is the EARLIEST row attaining it; range (not rows) frame
+    so simultaneous events count together."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.counters import burst_stats
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [(1, t(0)), (1, t(8)), (1, t(10)),   # 0,8,10 within 10 s of 10
+         (1, t(40)), (1, t(45)), (1, t(50)),  # second cluster, also 3
+         (2, t(0))],
+        "user_id long, ts timestamp_ntz",
+    )
+    got = {r0["user_id"]: r0
+           for r0 in burst_stats(df, window_s=10).collect()}
+    assert got[1]["peak_burst"] == 3
+    assert got[1]["peak_at"] == t(10)   # earliest of the two peaks
+    assert got[2]["peak_burst"] == 1 and got[2]["n_events"] == 1
+
+
+def test_twa_and_burst_single_exchange(spark):
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.counters import (burst_stats,
+                                                   time_weighted_avg)
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, ts timestamp_ntz, value double")
+    for op in (lambda d: time_weighted_avg(d),
+               lambda d: burst_stats(d.drop("value"))):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1

@@ -77,3 +77,77 @@ def counter_rate(df: DataFrame, key: str = "user_id",
         )
         .withColumn("rate", F.col("increase_sum") / bucket_s)
     )
+
+
+def time_weighted_avg(df: DataFrame, key: str = "user_id",
+                      ts_col: str = "ts", value_col: str = "value",
+                      bucket_s: int = 86400) -> DataFrame:
+    """Time-weighted average per (key, bucket) with last-observation-
+    carried-forward weighting (TimescaleDB ``time_weight('LOCF')``
+    semantics over irregular samples).
+
+    Each sample's weight is the seconds until the next sample of the
+    same key, CLIPPED to the bucket edge, so a sample near the bucket
+    end never leaks weight into the next bucket and the per-bucket
+    weights of a dense stream sum exactly to the covered span.  The
+    key's final sample (no successor) gets weight to its bucket's end.
+
+    -> (key, bucket_start, n_samples, covered_s, twa)
+
+    Scale shape: ONE exchange — the lead window partitions by the key
+    and the (key, bucket) aggregation reuses it (subset rule).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    # double cast keeps sub-second fractions (unix_timestamp truncates)
+    e = F.col(ts_col).cast("timestamp").cast("double")
+    bucket_num = F.floor(e / bucket_s)
+    bucket_end = (bucket_num + 1) * bucket_s
+    nxt = F.lead(e).over(w)
+    dt = F.least(F.coalesce(nxt, bucket_end.cast("double")),
+                 bucket_end.cast("double")) - e
+    staged = df.select(
+        F.col(key),
+        F.timestamp_seconds(bucket_num * bucket_s)
+        .cast(df.schema[ts_col].dataType).alias("bucket_start"),
+        F.col(value_col).cast("double").alias("_v"),
+        dt.alias("_dt"),
+    )
+    return (
+        staged.groupBy(key, "bucket_start")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.round(F.sum("_dt"), 6).alias("covered_s"),
+            (F.round(F.sum(F.col("_v") * F.col("_dt"))
+                     / F.sum("_dt"), 6) + F.lit(0.0)).alias("twa"),
+        )
+    )
+
+
+def burst_stats(df: DataFrame, key: str = "user_id",
+                ts_col: str = "ts", window_s: int = 60) -> DataFrame:
+    """Peak sliding-window event rate per key: the maximum number of
+    events in ANY trailing ``window_s`` seconds (rate-limiter /
+    burst-detection primitive).
+
+    The trailing count is a RANGE frame over event-time seconds —
+    O(n log n) per key, one exchange; the max-reduction reuses the
+    window's partitioning.
+
+    -> (key, n_events, peak_burst, peak_at)
+    """
+    e = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    staged = df.select(F.col(key), F.col(ts_col), e.alias("_e"))
+    w = (Window.partitionBy(key).orderBy(F.col("_e"))
+         .rangeBetween(-window_s, 0))
+    cnt = staged.withColumn("_burst", F.count("*").over(w))
+    # deterministic argmax via struct max: highest count, then
+    # earliest ts (negated epoch makes max pick the smallest ts)
+    mx = F.max(F.struct(F.col("_burst").alias("b"),
+                        (-F.col("_e")).alias("ne"),
+                        F.col(ts_col).alias("t")))
+    return (cnt.groupBy(key)
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 mx.alias("_mx"))
+            .select(key, "n_events",
+                    F.col("_mx.b").cast("long").alias("peak_burst"),
+                    F.col("_mx.t").alias("peak_at")))
