@@ -2605,7 +2605,7 @@ def q_error_window_clicks(spark, sf_dir):
 
 
 # mergeable histogram quantiles (operators/histogram.py): per-user
-# p50/p95 of value from a 50-bin [0, 50] grid sketch — the DuckDB
+# p50/p95 of value from a 100-bin [0, 200] grid sketch — the DuckDB
 # oracle replays the identical bin / cumulate / interpolate pipeline.
 # Counts are ints; the interpolation arithmetic is the same expression
 # on both engines, rounded to 6 decimals.
@@ -2614,12 +2614,12 @@ def q_error_window_clicks(spark, sf_dir):
     """
     WITH v AS (
       SELECT user_id,
-             least(greatest(CAST(value AS DOUBLE), 0.0), 50.0) AS v
+             least(greatest(CAST(value AS DOUBLE), 0.0), 200.0) AS v
       FROM events WHERE value IS NOT NULL
     ),
     b AS (
       SELECT user_id,
-             CAST(least(floor(v / 1.0), 49) AS INT) AS bin FROM v
+             CAST(least(floor(v / 2.0), 99) AS INT) AS bin FROM v
     ),
     c AS (SELECT user_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
     cum AS (
@@ -2640,9 +2640,9 @@ def q_error_window_clicks(spark, sf_dir):
       FROM cum GROUP BY 1
     )
     SELECT user_id, n,
-           round(0.0 + 1.0 * (h50.bin + (0.5 * n - (h50.cum - h50.cnt))
+           round(0.0 + 2.0 * (h50.bin + (0.5 * n - (h50.cum - h50.cnt))
                               / h50.cnt), 6) + 0.0 AS p50,
-           round(0.0 + 1.0 * (h95.bin + (0.95 * n - (h95.cum - h95.cnt))
+           round(0.0 + 2.0 * (h95.bin + (0.95 * n - (h95.cum - h95.cnt))
                               / h95.cnt), 6) + 0.0 AS p95
     FROM hit
     """,
@@ -2653,7 +2653,7 @@ def q_hist_quantiles_user(spark, sf_dir):
     ev = read(spark, sf_dir, "events")
     return histogram_quantiles(
         ev, ["user_id"], "value", qs=[0.5, 0.95],
-        lo=0.0, hi=50.0, bins=50)
+        lo=0.0, hi=200.0, bins=100)
 
 
 # exact heavy hitters over a JSON-extracted property
@@ -2997,6 +2997,31 @@ def q_burst_stats(spark, sf_dir):
     from ts_pymfe_spark.operators.counters import burst_stats
 
     return burst_stats(read(spark, sf_dir, "events"), window_s=3600)
+
+
+# exact per-user quantiles (Spark `percentile`, the full-sort exact
+# path complementing the histogram sketch): both engines define the
+# estimator as linear interpolation at rank q*(n-1) — verified to
+# agree to 6 decimals.
+@register(
+    "exact_quantiles_user",
+    """
+    SELECT user_id, CAST(count(value) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.25), 6) + 0.0 AS p25,
+           round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+           round(quantile_cont(value, 0.95), 6) + 0.0 AS p95
+    FROM events GROUP BY user_id
+    """,
+)
+def q_exact_quantiles_user(spark, sf_dir):
+    ev = read(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.95))")
+    return ev.groupBy("user_id").agg(
+        F.count("value").cast("long").alias("n"),
+        (r(pct[0]) + F.lit(0.0)).alias("p25"),
+        (r(pct[1]) + F.lit(0.0)).alias("p50"),
+        (r(pct[2]) + F.lit(0.0)).alias("p95"),
+    )
 
 
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
