@@ -3024,6 +3024,120 @@ def q_exact_quantiles_user(spark, sf_dir):
     )
 
 
+# heartbeat / liveness gaps (counters.py heartbeat_gaps): per user,
+# inter-arrival gaps above 1 h — count, worst, and summed downtime.
+@register(
+    "heartbeat_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch(CAST(ts AS TIMESTAMP))
+             - lag(epoch(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts) AS gap
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN gap > 3600.0 THEN gap END) AS BIGINT)
+             AS n_gaps,
+           round(coalesce(max(CASE WHEN gap > 3600.0 THEN gap END),
+                          0.0), 6) + 0.0 AS max_gap_s,
+           round(coalesce(sum(CASE WHEN gap > 3600.0 THEN gap END),
+                          0.0), 6) + 0.0 AS downtime_s
+    FROM g GROUP BY 1
+    """,
+)
+def q_heartbeat_gaps(spark, sf_dir):
+    from ts_pymfe_spark.operators.counters import heartbeat_gaps
+
+    return heartbeat_gaps(read(spark, sf_dir, "events"), gap_s=3600.0)
+
+
+# one-pass table profiler (operators/profile.py): per-column row/null
+# counts + HLL distinct estimate over the canonical string form — the
+# oracle unpivots with UNION ALL and replays the sketch; no Expand
+# node on the Spark side (count-distinct per column would plan one).
+def _profile_oracle() -> str:
+    unpivot = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST({c} AS VARCHAR) AS value "
+        "FROM events"
+        for c in ("user_id", "event_type", "value"))
+    h = _HEX2INT.format(h="substr(md5('hll|' || value), 1, 8)")
+    return f"""
+    WITH staged AS ({unpivot}),
+    counts AS (
+      SELECT "column", CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null
+      FROM staged GROUP BY 1
+    ),
+    hh AS (SELECT "column", {h} AS h FROM staged
+           WHERE value IS NOT NULL),
+    rg AS (
+      SELECT "column", h >> 22 AS register,
+             CASE WHEN (h & 4194303) = 0 THEN 23
+                  ELSE strpos(lpad(bin(h & 4194303), 22, '0'), '1')
+                  END AS rho
+      FROM hh
+    ),
+    s AS (SELECT "column", register, max(rho) AS max_rho
+          FROM rg GROUP BY 1, 2),
+    e AS (SELECT "column", count(*) AS used,
+                 (1024 - count(*)) + sum(power(2.0, -max_rho)) AS s_all
+          FROM s GROUP BY 1),
+    est AS (
+      SELECT "column",
+             round(CASE WHEN {_HLL_ALPHA_M2!r} / s_all <= 2560.0
+                         AND used < 1024
+                        THEN 1024.0 * ln(1024.0 / (1024 - used))
+                        ELSE {_HLL_ALPHA_M2!r} / s_all END, 6) + 0.0
+               AS est_distinct
+      FROM e
+    )
+    SELECT c."column", c.n_rows, c.n_null,
+           coalesce(est.est_distinct, 0.0) AS est_distinct
+    FROM counts c LEFT JOIN est ON c."column" = est."column"
+    """
+
+
+@register("profile_events", _profile_oracle())
+def q_profile_events(spark, sf_dir):
+    from ts_pymfe_spark.operators.profile import profile_table
+
+    return profile_table(read(spark, sf_dir, "events"),
+                         ["user_id", "event_type", "value"])
+
+
+# wide-format event counts (Spark pivot with an explicit value list —
+# no extra distinct job — vs CASE sums in the oracle).
+@register(
+    "event_counts_pivot",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view,
+           CAST(count(*) AS BIGINT) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q_event_counts_pivot(spark, sf_dir):
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = read(spark, sf_dir, "events")
+    wide = (ev.groupBy("user_id").pivot("event_type", types).count())
+    cols = [F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in types]
+    total = sum((F.coalesce(F.col(t), F.lit(0)) for t in types),
+                F.lit(0)).cast("long").alias("total")
+    return wide.select("user_id", *cols, total)
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

@@ -1436,3 +1436,108 @@ def test_twa_and_burst_single_exchange(spark):
                lambda d: burst_stats(d.drop("value"))):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# empty-input robustness: every round-5 operator must return an empty
+# frame (not crash) on zero rows — the behavior a partition-pruned
+# 100 TB read hits constantly
+# ---------------------------------------------------------------------------
+
+def test_round5_operators_survive_empty_input(spark):
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.counters import (burst_stats,
+                                                   counter_rate,
+                                                   time_weighted_avg)
+    from ts_pymfe_spark.operators.downsample import (lttb_downsample,
+                                                     m4_downsample)
+    from ts_pymfe_spark.operators.funnel import (cohort_retention, funnel,
+                                                 transition_matrix)
+    from ts_pymfe_spark.operators.histogram import histogram_quantiles
+    from ts_pymfe_spark.operators.intervals import interval_join
+    from ts_pymfe_spark.operators.sketches import (heavy_hitters,
+                                                   hll_distinct)
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp_ntz, "
+            "event_type string, value double")
+    ser = spark.createDataFrame(
+        [], "conv_id string, turn_idx long, value double")
+    iv = spark.createDataFrame(
+        [], "iv_id long, user_id long, start timestamp_ntz, "
+            "end timestamp_ntz")
+    checks = [
+        counter_rate(ev),
+        time_weighted_avg(ev),
+        burst_stats(ev.drop("value")),
+        funnel(ev, [F.col("event_type") == "view"]),
+        cohort_retention(ev),
+        transition_matrix(ev),
+        hll_distinct(ev.withColumn("day", F.to_date("ts")),
+                     ["day"], "user_id"),
+        heavy_hitters(ev, ["event_type"], "user_id"),
+        histogram_quantiles(ev, ["user_id"], "value", [0.5], 0.0, 10.0),
+        interval_join(ev, iv),
+        m4_downsample(ser),
+        lttb_downsample(ser),
+        TP.weighted_sample(
+            spark.createDataFrame(
+                [], "doc_id long, lang string, n_chars long"), k=5),
+    ]
+    for df in checks:
+        assert df.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# heartbeat gaps + table profiler
+# ---------------------------------------------------------------------------
+
+def test_heartbeat_gaps_hand_case(spark):
+    """Gaps of 100 s and 200 s over a 60 s threshold: both counted,
+    max 200, downtime 300; sub-threshold gaps ignored; single-event
+    keys report clean zeros."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.counters import heartbeat_gaps
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) \
+        + dt.timedelta(seconds=s)
+    df = spark.createDataFrame(
+        [(1, t(0)), (1, t(30)), (1, t(130)), (1, t(330)),
+         (2, t(0))],
+        "user_id long, ts timestamp_ntz",
+    )
+    got = {r0["user_id"]: r0
+           for r0 in heartbeat_gaps(df, gap_s=60.0).collect()}
+    assert got[1]["n_gaps"] == 2
+    assert got[1]["max_gap_s"] == 200.0
+    assert got[1]["downtime_s"] == 300.0
+    assert (got[2]["n_gaps"], got[2]["max_gap_s"],
+            got[2]["downtime_s"]) == (0, 0.0, 0.0)
+
+
+def test_profile_table_counts_and_distincts(spark):
+    from ts_pymfe_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, "b", 5.0), (4, None, 7.0)],
+        "id long, cat string, v double")
+    got = {r0["column"]: r0 for r0 in profile_table(df).collect()}
+    assert all(got[c]["n_rows"] == 4 for c in ("id", "cat", "v"))
+    assert got["cat"]["n_null"] == 1 and got["v"]["n_null"] == 1
+    # tiny cardinalities ride linear counting -> near-exact
+    assert abs(got["id"]["est_distinct"] - 4) < 0.1
+    assert abs(got["cat"]["est_distinct"] - 2) < 0.1
+    assert abs(got["v"]["est_distinct"] - 2) < 0.1
+
+
+def test_profile_table_no_expand_node(spark):
+    """The profiler must not plan an Expand (the count-distinct-per-
+    column shape it exists to avoid); the unpivot is a Generate."""
+    from ts_pymfe_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1, "a")], "id long, cat string")
+    plan = profile_table(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Expand" not in plan

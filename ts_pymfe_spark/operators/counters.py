@@ -151,3 +151,30 @@ def burst_stats(df: DataFrame, key: str = "user_id",
             .select(key, "n_events",
                     F.col("_mx.b").cast("long").alias("peak_burst"),
                     F.col("_mx.t").alias("peak_at")))
+
+
+def heartbeat_gaps(df: DataFrame, key: str = "user_id",
+                   ts_col: str = "ts", gap_s: float = 3600.0) -> DataFrame:
+    """Heartbeat / liveness gap detection: per key, the inter-arrival
+    gaps exceeding ``gap_s`` (monitoring's dead-man-switch view of an
+    event stream).
+
+    -> (key, n_events, n_gaps, max_gap_s, downtime_s) where
+    ``downtime_s`` sums only the above-threshold gaps (round-6; the
+    micro-second epoch diffs are exact halves so the sum is stable).
+
+    One exchange: lag window by key; the aggregate reuses it.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    e = F.col(ts_col).cast("timestamp").cast("double")
+    gap = e - F.lag(e).over(w)
+    staged = df.select(F.col(key), gap.alias("_gap"))
+    over = F.when(F.col("_gap") > gap_s, F.col("_gap"))
+    return staged.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count(over).cast("long").alias("n_gaps"),
+        (F.round(F.coalesce(F.max(over), F.lit(0.0)), 6)
+         + F.lit(0.0)).alias("max_gap_s"),
+        (F.round(F.coalesce(F.sum(over), F.lit(0.0)), 6)
+         + F.lit(0.0)).alias("downtime_s"),
+    )
