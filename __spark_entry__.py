@@ -3138,6 +3138,141 @@ def q_event_counts_pivot(spark, sf_dir):
     return wide.select("user_id", *cols, total)
 
 
+# sketch-only day-over-day user overlap (sketches.py hll_overlap):
+# inclusion-exclusion on the daily + pairwise-union estimates — the
+# oracle replays singles, the 2-day fan-out union, and the shift join.
+def _hll_est_cte(src: str, out: str) -> str:
+    return f"""
+    {out}_e AS (
+      SELECT day, count(*) AS used,
+             (1024 - count(*)) + sum(power(2.0, -max_rho)) AS s_all
+      FROM {src} GROUP BY 1),
+    {out} AS (
+      SELECT day,
+             round(CASE WHEN {_HLL_ALPHA_M2!r} / s_all <= 2560.0
+                         AND used < 1024
+                        THEN 1024.0 * ln(1024.0 / (1024 - used))
+                        ELSE {_HLL_ALPHA_M2!r} / s_all END, 6) + 0.0
+               AS est
+      FROM {out}_e)"""
+
+
+@register(
+    "hll_overlap_daily",
+    f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             {_HEX2INT.format(h="substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 8)")} AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    rg AS (
+      SELECT day, h >> 22 AS register,
+             CASE WHEN (h & 4194303) = 0 THEN 23
+                  ELSE strpos(lpad(bin(h & 4194303), 22, '0'), '1')
+                  END AS rho
+      FROM h
+    ),
+    s AS (SELECT day, register, max(rho) AS max_rho
+          FROM rg GROUP BY 1, 2),
+    fan AS (
+      SELECT s.day + CAST(g.i AS INT) AS day, s.register, s.max_rho
+      FROM s CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) g
+    ),
+    m AS (SELECT day, register, max(max_rho) AS max_rho
+          FROM fan GROUP BY 1, 2
+          HAVING day IN (SELECT day FROM s)),
+    {_hll_est_cte('s', 'e1')},
+    {_hll_est_cte('m', 'e2')}
+    SELECT CAST(cur.day AS VARCHAR) AS day,
+           prv.est AS est_prev, cur.est AS est_cur,
+           e2.est AS est_union,
+           round(prv.est + cur.est - e2.est, 6) + 0.0 AS est_overlap
+    FROM e1 cur
+    JOIN e1 prv ON cur.day = prv.day + 1
+    JOIN e2 ON e2.day = cur.day
+    """,
+)
+def q_hll_overlap_daily(spark, sf_dir):
+    from ts_pymfe_spark.operators.sketches import hll_overlap, hll_sketch
+
+    ev = read(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id")
+    sk = hll_sketch(ev, ["day"], "user_id", p=10)
+    out = hll_overlap(sk, "day", p=10)
+    return out.select(F.col("day").cast("string").alias("day"),
+                      "est_prev", "est_cur", "est_union", "est_overlap")
+
+
+# conversion-latency distribution: funnel -> completed chains ->
+# exact quantiles of (purchase_ts - view_ts) — a composition of two
+# engine operators whose oracle replays the whole chain.
+@register(
+    "conversion_latency",
+    """
+    WITH a AS (
+      SELECT user_id, event_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t1
+      FROM events
+    ),
+    b AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1
+                          AND ts <= t1 + INTERVAL 86400 SECOND
+                         THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t2
+      FROM a
+    ),
+    c AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2
+                          AND ts <= t1 + INTERVAL 86400 SECOND
+                         THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t3
+      FROM b
+    ),
+    per_user AS (
+      SELECT user_id, min(t1) AS t1, min(t3) AS t3 FROM c GROUP BY 1
+    ),
+    lat AS (
+      SELECT epoch(CAST(t3 AS TIMESTAMP))
+             - epoch(CAST(t1 AS TIMESTAMP)) AS secs
+      FROM per_user WHERE t3 IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(min(secs), 6) + 0.0 AS min_s,
+           round(quantile_cont(secs, 0.5), 6) + 0.0 AS p50_s,
+           round(quantile_cont(secs, 0.95), 6) + 0.0 AS p95_s,
+           round(max(secs), 6) + 0.0 AS max_s
+    FROM lat
+    """,
+)
+def q_conversion_latency(spark, sf_dir):
+    from ts_pymfe_spark.operators.funnel import funnel
+
+    ev = read(spark, sf_dir, "events")
+    per_user = funnel(
+        ev,
+        steps=[F.col("event_type") == "view",
+               F.col("event_type") == "click",
+               F.col("event_type") == "purchase"],
+        key="user_id", ts_col="ts", window_s=86400.0,
+        tiebreak_col="event_id",
+    )
+    lat = per_user.filter(F.col("t3").isNotNull()).select(
+        (F.col("t3").cast("timestamp").cast("double")
+         - F.col("t1").cast("timestamp").cast("double")).alias("secs"))
+    pct = F.expr("percentile(secs, array(0.5, 0.95))")
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        (r(F.min("secs")) + F.lit(0.0)).alias("min_s"),
+        (r(pct[0]) + F.lit(0.0)).alias("p50_s"),
+        (r(pct[1]) + F.lit(0.0)).alias("p95_s"),
+        (r(F.max("secs")) + F.lit(0.0)).alias("max_s"),
+    )
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

@@ -1541,3 +1541,37 @@ def test_profile_table_no_expand_node(spark):
     plan = profile_table(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Expand" not in plan
+
+
+def test_hll_overlap_tracks_true_intersection(spark):
+    """Known 40% day-over-day overlap: the inclusion-exclusion
+    estimate lands within the compounded sketch error (3 estimates
+    at ~3.25% RSE each)."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.sketches import hll_overlap, hll_sketch
+
+    rows = []
+    # day 1: users 0..999; day 2: users 600..1599 (overlap 400)
+    for u in range(1000):
+        rows.append((dt.date(2024, 1, 1), u))
+    for u in range(600, 1600):
+        rows.append((dt.date(2024, 1, 2), u))
+    df = spark.createDataFrame(rows, "day date, user_id long")
+    out = hll_overlap(hll_sketch(df, ["day"], "user_id")).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert str(row["day"]) == "2024-01-02"
+    assert abs(row["est_overlap"] - 400) / 400 < 0.35
+    assert abs(row["est_union"] - 1600) / 1600 < 0.15
+
+
+def test_hll_overlap_requires_literal_predecessor(spark):
+    """A day whose literal previous day is absent emits no row."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.sketches import hll_overlap, hll_sketch
+
+    rows = [(dt.date(2024, 1, 1), 1), (dt.date(2024, 1, 3), 2)]
+    df = spark.createDataFrame(rows, "day date, user_id long")
+    assert hll_overlap(hll_sketch(df, ["day"], "user_id")).count() == 0

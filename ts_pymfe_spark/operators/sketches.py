@@ -180,3 +180,32 @@ def hll_rolling(sketch: DataFrame, day_col: str = "day",
     days = sketch.select(day_col).distinct()
     merged = merged.join(F.broadcast(days), day_col, "left_semi")
     return hll_estimate(merged, keys, p)
+
+
+def hll_overlap(sketch: DataFrame, day_col: str = "day",
+                p: int = 10) -> DataFrame:
+    """Day-over-day set overlap from sketches alone
+    (inclusion-exclusion): |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B),
+    with est(A ∪ B) the max-merge of the two register tables — the
+    sketch-only form of day-over-day retained-users, no raw re-scan.
+
+    Collect-free: the pairwise union per day IS ``hll_rolling`` with a
+    2-day window; the previous day's single estimate joins in via a
+    ``date_add`` shift.  One row per day whose literal predecessor day
+    is present in the sketch.
+
+    -> (day, est_prev, est_cur, est_union, est_overlap)
+    """
+    singles = hll_estimate(sketch, [day_col], p)
+    cur = singles.select(F.col(day_col).alias("day"),
+                         F.col("est_distinct").alias("est_cur"))
+    prv = singles.select(F.date_add(F.col(day_col), 1).alias("day"),
+                         F.col("est_distinct").alias("est_prev"))
+    un = hll_rolling(sketch, day_col, window_days=2, p=p).select(
+        F.col(day_col).alias("day"),
+        F.col("est_distinct").alias("est_union"))
+    return (cur.join(prv, "day").join(un, "day")
+            .select("day", "est_prev", "est_cur", "est_union",
+                    (F.round(F.col("est_prev") + F.col("est_cur")
+                             - F.col("est_union"), 6) + F.lit(0.0))
+                    .alias("est_overlap")))
