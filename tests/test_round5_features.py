@@ -1575,3 +1575,40 @@ def test_hll_overlap_requires_literal_predecessor(spark):
     rows = [(dt.date(2024, 1, 1), 1), (dt.date(2024, 1, 3), 2)]
     df = spark.createDataFrame(rows, "day date, user_id long")
     assert hll_overlap(hll_sketch(df, ["day"], "user_id")).count() == 0
+
+
+def test_analytics_report_job_end_to_end(spark, tmp_path):
+    """The CLI analytics job (jobs/analytics_report.py) produces every
+    report table, and the sketch-derived tables agree with direct
+    operator calls (derivation from the STORED sketch, not raw)."""
+    import sys
+    from unittest import mock
+
+    from ts_pymfe_spark.operators.sketches import hll_distinct
+
+    ev = spark.createDataFrame(
+        [(i, __import__("datetime").datetime(2024, 1, 1 + i % 3, i % 24),
+          i % 7, ["view", "click", "purchase"][i % 3], float(i))
+         for i in range(200)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double")
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "report")
+    ev.write.mode("overwrite").parquet(src)
+
+    sys.path.insert(0, "jobs")
+    import analytics_report
+
+    argv = ["analytics_report.py", "--input", src, "--output", out]
+    with mock.patch.object(sys, "argv", argv):
+        analytics_report.main()
+
+    got = {r["day"]: r["est_distinct"]
+           for r in spark.read.parquet(f"{out}/distinct_daily").collect()}
+    want = {r["day"]: r["est_distinct"]
+            for r in hll_distinct(
+                ev.select(F.to_date("ts").alias("day"), "user_id"),
+                ["day"], "user_id").collect()}
+    assert got == want
+    assert spark.read.parquet(f"{out}/funnel").count() == 7
+    assert spark.read.parquet(f"{out}/profile").count() == 3
