@@ -1,0 +1,41 @@
+"""Scale-stress the round-5 analytics ops: 10M synthetic events
+(100x the sf0.01 contract table), local[8] — records wall seconds and
+the shuffle-bounded row counts that make each op 100 TB-shaped."""
+import time
+from ts_pymfe_spark.session import get_spark
+from pyspark.sql import functions as F
+
+spark = get_spark("scale-stress", cpus=8, shuffle_partitions=8)
+N = 10_000_000
+ev = (spark.range(N)
+      .select(
+          F.col("id").alias("event_id"),
+          (F.lit(1704067200) + (F.col("id") * 259) % 2592000)
+          .cast("timestamp").alias("ts"),
+          (F.pmod(F.xxhash64("id"), F.lit(100_000))).alias("user_id"),
+          F.element_at(F.array(*[F.lit(x) for x in
+              ("view", "click", "purchase", "signup", "error")]),
+              (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5)) + 1).cast("int")
+          ).alias("event_type"),
+          (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10000)) / 100.0)
+          .alias("value"),
+      )).persist()
+print("rows:", ev.count())
+
+from ts_pymfe_spark.operators.sketches import hll_sketch, hll_estimate
+from ts_pymfe_spark.operators.funnel import funnel
+from ts_pymfe_spark.operators.counters import time_weighted_avg, burst_stats
+from ts_pymfe_spark.operators.histogram import histogram_quantiles
+
+def timed(name, df):
+    t0 = time.perf_counter()
+    n = df.count()
+    print(f"STRESS {name}: {time.perf_counter()-t0:.2f}s out_rows={n}")
+
+day = ev.select(F.to_date("ts").alias("day"), "user_id", "ts", "event_type", "value", "event_id")
+timed("hll_daily_10M", hll_estimate(hll_sketch(day, ["day"], "user_id"), ["day"]))
+timed("funnel_10M", funnel(day, [F.col("event_type")==s for s in ("view","click","purchase")],
+                           tiebreak_col="event_id"))
+timed("twa_10M", time_weighted_avg(day, bucket_s=86400))
+timed("burst_10M", burst_stats(day, window_s=3600))
+timed("histq_10M", histogram_quantiles(day, ["user_id"], "value", [0.5, 0.95], 0.0, 100.0, 100))
