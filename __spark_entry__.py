@@ -3273,6 +3273,70 @@ def q_conversion_latency(spark, sf_dir):
     )
 
 
+# time-in-state per user (counters.py state_durations, TimescaleDB
+# state_agg semantics): LOCF from each event to the key's next event,
+# final event holds no duration.
+@register(
+    "state_durations",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS state,
+             coalesce(lead(epoch(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY ts)
+                      - epoch(CAST(ts AS TIMESTAMP)), 0.0) AS dt
+      FROM events
+    )
+    SELECT user_id, state, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(dt), 6) + 0.0 AS total_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_state_durations(spark, sf_dir):
+    from ts_pymfe_spark.operators.counters import state_durations
+
+    return state_durations(read(spark, sf_dir, "events"))
+
+
+# per-(user, hour) least-squares slope of value over centered
+# in-bucket seconds (counters.py counter_deriv, PromQL deriv) — the
+# explicit moment formula on centered x is identical on both engines.
+@register(
+    "counter_deriv",
+    """
+    WITH e AS (
+      SELECT user_id, ts, CAST(value AS DOUBLE) AS y,
+             CAST(epoch(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS es
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, y,
+             floor(es / 3600) AS bn,
+             es - floor(es / 3600) * 3600 AS x
+      FROM e
+    ),
+    a AS (
+      SELECT user_id,
+             make_timestamp(CAST(bn * 3600 AS BIGINT) * 1000000)
+               AS bucket_start,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, bucket_start, n_samples,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      END, 6) + 0.0 AS slope
+    FROM a
+    """,
+)
+def q_counter_deriv(spark, sf_dir):
+    from ts_pymfe_spark.operators.counters import counter_deriv
+
+    return counter_deriv(read(spark, sf_dir, "events"), bucket_s=3600)
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

@@ -1612,3 +1612,40 @@ def test_analytics_report_job_end_to_end(spark, tmp_path):
     assert got == want
     assert spark.read.parquet(f"{out}/funnel").count() == 7
     assert spark.read.parquet(f"{out}/profile").count() == 3
+
+
+def test_state_durations_hand_case(spark):
+    """LOCF: state holds until the next event; final event holds 0."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.counters import state_durations
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [(1, t(0), "idle"), (1, t(10), "busy"), (1, t(15), "idle"),
+         (1, t(45), "busy"), (2, t(0), "idle")],
+        "user_id long, ts timestamp_ntz, event_type string")
+    got = {(r0["user_id"], r0["state"]): r0["total_s"]
+           for r0 in state_durations(df).collect()}
+    assert got[(1, "idle")] == 10.0 + 30.0
+    assert got[(1, "busy")] == 5.0 + 0.0   # final event holds nothing
+    assert got[(2, "idle")] == 0.0
+
+
+def test_counter_deriv_recovers_known_slope(spark):
+    """Exact linear data y = 3 + 0.25 * x within one bucket recovers
+    slope 0.25; a single-sample bucket yields null."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.counters import counter_deriv
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(1, base + dt.timedelta(seconds=s), 3.0 + 0.25 * s)
+            for s in (0, 7, 19, 33, 50)]
+    rows.append((2, base, 9.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, value double")
+    got = {r0["user_id"]: r0
+           for r0 in counter_deriv(df, bucket_s=60).collect()}
+    assert got[1]["slope"] == pytest.approx(0.25, abs=1e-9)
+    assert got[2]["slope"] is None and got[2]["n_samples"] == 1

@@ -178,3 +178,65 @@ def heartbeat_gaps(df: DataFrame, key: str = "user_id",
         (F.round(F.coalesce(F.sum(over), F.lit(0.0)), 6)
          + F.lit(0.0)).alias("downtime_s"),
     )
+
+
+def state_durations(df: DataFrame, key: str = "user_id",
+                    ts_col: str = "ts",
+                    state_col: str = "event_type") -> DataFrame:
+    """Time spent in each state per key (TimescaleDB ``state_agg``
+    semantics): a key is "in" a state from an event until its next
+    event (LOCF); the final event holds no duration (no extrapolation
+    past the stream).
+
+    -> (key, state, n_events, total_s)
+
+    One exchange: the lead window by key; the (key, state) aggregate
+    reuses it (subset rule).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    e = F.col(ts_col).cast("timestamp").cast("double")
+    dt = F.coalesce(F.lead(e).over(w) - e, F.lit(0.0))
+    staged = df.select(F.col(key), F.col(state_col).alias("state"),
+                       dt.alias("_dt"))
+    return staged.groupBy(key, "state").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.round(F.sum("_dt"), 6) + F.lit(0.0)).alias("total_s"),
+    )
+
+
+def counter_deriv(df: DataFrame, key: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  bucket_s: int = 3600) -> DataFrame:
+    """Per-(key, bucket) least-squares slope of value over time
+    (PromQL ``deriv``), units value/second.
+
+    Time is centered to seconds-within-bucket before the regression —
+    raw epoch x-values (~1.7e9) would cancel ~12 digits in
+    ``n·Σx² − (Σx)²`` and make the slope numerically engine-dependent;
+    centered x spans [0, bucket_s) and the explicit moment formula is
+    then stable and identical on both engines.
+
+    -> (key, bucket_start, n_samples, slope); slope null for
+    single-sample or zero-time-spread buckets.
+    """
+    e = F.col(ts_col).cast("timestamp").cast("double")
+    bucket_num = F.floor(e / bucket_s)
+    x = e - bucket_num * bucket_s
+    staged = df.select(
+        F.col(key),
+        F.timestamp_seconds(bucket_num * bucket_s)
+        .cast(df.schema[ts_col].dataType).alias("bucket_start"),
+        x.alias("_x"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    n = F.count("*").cast("double")
+    sx = F.sum("_x")
+    sy = F.sum("_y")
+    sxx = F.sum(F.col("_x") * F.col("_x"))
+    sxy = F.sum(F.col("_x") * F.col("_y"))
+    den = n * sxx - sx * sx
+    slope = F.when(den > 0, (n * sxy - sx * sy) / den)
+    return staged.groupBy(key, "bucket_start").agg(
+        F.count("*").cast("long").alias("n_samples"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+    )
