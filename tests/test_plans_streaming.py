@@ -756,3 +756,54 @@ def test_streaming_hll_matches_batch(spark, turns, tmp_path):
     import os
     assert len([d for d in os.listdir(store)
                 if d.startswith("batch=")]) >= 2
+
+
+def test_streaming_counter_matches_batch(spark, tmp_path):
+    """Multi-microbatch streamed counter increases equal the batch
+    counter_increase on per-key time-ordered delivery — including a
+    reset straddling a microbatch boundary."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ts_pymfe_spark.operators.counters import counter_increase
+    from ts_pymfe_spark.streaming.stateful import counter_rate_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2):
+        v = 0.0
+        for i in range(40):
+            v = (v + 5.0) if (i % 13) else (1.0 if i else 5.0)  # resets
+            rows.append((u, t0 + dt.timedelta(seconds=10 * i + u), v))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    in_dir = str(tmp_path / "cnt_in")
+    # per-key ordered arrival: four time-slices written sequentially
+    # (FileStreamSource processes oldest-modified first)
+    for k in range(4):
+        df.filter(F.floor(
+            (F.col("ts").cast("long") - F.lit(int(t0.timestamp())))
+            / 100) == k) \
+          .coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(0.05)
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, value double")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out_dir = str(tmp_path / "cnt_out")
+    q = (counter_rate_stream(stream).writeStream
+         .format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "cnt_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = sorted(
+        (r["user_id"], r["ts"], r["increase"], r["is_reset"])
+        for r in spark.read.parquet(out_dir).collect())
+    exp = sorted(
+        (r["user_id"], r["ts"], r["increase"], r["is_reset"])
+        for r in counter_increase(df).select(
+            "user_id", "ts", "increase", "is_reset").collect())
+    assert got == exp

@@ -161,3 +161,101 @@ def sessionize_batch(turns: DataFrame, gap_seconds: int = 1800,
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).cast("long").alias("session_id"),
     )
+
+
+COUNTER_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("increase", T.DoubleType()),
+        T.StructField("is_reset", T.BooleanType()),
+    ]
+)
+
+#: (last_ts_epoch_us, last counter value)
+COUNTER_STATE = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+
+
+def counter_rate_stream(events: DataFrame,
+                        idle_timeout_seconds: int | None = None
+                        ) -> DataFrame:
+    """Streaming reset-adjusted counter increases (the stateful form
+    of ``operators.counters.counter_increase``): cross-microbatch
+    state = the key's last (ts, value) — 2 scalars, bounded.
+
+    Emits one row per event with the Prometheus-convention increase
+    (forward delta; the new value after a reset; null for a key's
+    first-ever sample).  The per-bucket rate rollup downstream is a
+    plain mergeable sum — the partials + merge-on-read pattern.
+
+    Ordering contract: per-key time-ordered delivery across
+    microbatches (Kafka's partition-by-key guarantee); rows are sorted
+    within each batch.  An out-of-order regression would read as a
+    counter reset — exactly what Prometheus does in the same case.
+
+    ``idle_timeout_seconds`` bounds state for continuous deployments
+    (eviction = the key's next sample counts as first, contributing
+    nothing — the Prometheus restart convention); default NoTimeout
+    for exactness under bounded ``availableNow`` replays.
+    """
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_us, last_value = state.get
+        else:
+            last_us, last_value = None, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            vals = pdf["value"].to_numpy(dtype=float)
+            incs, resets = [], []
+            for us, v in zip(ts_us, vals):
+                if last_value is None:
+                    incs.append(None)
+                    resets.append(False)
+                elif v < last_value:
+                    incs.append(v)
+                    resets.append(True)
+                else:
+                    incs.append(v - last_value)
+                    resets.append(False)
+                last_us, last_value = int(us), float(v)
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "ts": pdf["ts"].to_numpy(),
+                    "increase": pd.array(incs, dtype="float64"),
+                    "is_reset": resets,
+                }
+            )
+        state.update((last_us, last_value))
+        if idle_timeout_seconds is not None:
+            state.setTimeoutDuration(idle_timeout_seconds * 1000)
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_seconds is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=COUNTER_OUTPUT,
+            stateStructType=COUNTER_STATE,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
