@@ -189,3 +189,38 @@ def test_prepartitioned_cascade_matches_salted_cascade(spark, turns):
         import pandas.testing as pdt
 
         pdt.assert_frame_equal(pa, pb, check_exact=False, rtol=1e-12)
+
+
+def test_time_predicate_reaches_parquet_scan(spark, tmp_path):
+    """The storage contract behind retention/compaction: tier tables
+    are written as TIMESTAMP_MICROS (session.py — INT96 would have NO
+    footer min/max), so a bucket_start predicate is pushed into the
+    parquet scan (PushedFilters) and row-group pruning can act on the
+    footer stats.  Verified two ways: the filter appears in the scan
+    node, and pyarrow sees real min/max statistics on the column."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    rows = [("c", dt.datetime(2024, 1, 1 + d, h), float(d * 24 + h))
+            for d in range(3) for h in range(24)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_start timestamp_ntz, v double")
+    out = str(tmp_path / "tier")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+
+    scan = (spark.read.parquet(out)
+            .filter(F.col("bucket_start")
+                    >= dt.datetime(2024, 1, 3)))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bucket_start" in plan.split(
+        "PushedFilters")[1][:200], plan
+
+    import os
+    pfile = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+    meta = pq.ParquetFile(os.path.join(out, pfile)).metadata
+    col_idx = [meta.schema.column(i).name
+               for i in range(meta.num_columns)].index("bucket_start")
+    st = meta.row_group(0).column(col_idx).statistics
+    assert st is not None and st.has_min_max  # INT96 would be None
