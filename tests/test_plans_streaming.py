@@ -807,3 +807,60 @@ def test_streaming_counter_matches_batch(spark, tmp_path):
         for r in counter_increase(df).select(
             "user_id", "ts", "increase", "is_reset").collect())
     assert got == exp
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The streamed funnel's final per-key state equals the batch
+    funnel on per-key time-ordered delivery, with chains straddling
+    microbatch boundaries."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ts_pymfe_spark.operators.funnel import funnel
+    from ts_pymfe_spark.streaming.stateful import funnel_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    kinds = ["view", "click", "purchase", "error"]
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        for i in range(12):
+            rows.append((eid, u, t0 + dt.timedelta(seconds=100 * i + u),
+                         kinds[(i * u + u) % 4]))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+
+    in_dir = str(tmp_path / "fn_in")
+    for k in range(3):  # three ordered time-slices -> 3 microbatches
+        df.filter(F.floor(
+            (F.col("ts").cast("long") - F.lit(int(t0.timestamp())))
+            / 400) == k).coalesce(1) \
+          .write.mode("append").parquet(in_dir)
+        _time.sleep(0.05)
+
+    latest = {}
+
+    def keep_latest(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[r["user_id"]] = (r["t1"], r["t2"], r["t3"], r["depth"])
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (funnel_stream(stream, ["view", "click", "purchase"])
+         .writeStream.foreachBatch(keep_latest)
+         .option("checkpointLocation", str(tmp_path / "fn_ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    exp = {r["user_id"]: (r["t1"], r["t2"], r["t3"], r["depth"])
+           for r in funnel(
+               df, [F.col("event_type") == s
+                    for s in ("view", "click", "purchase")],
+               window_s=86400.0, tiebreak_col="event_id").collect()}
+    assert latest == exp

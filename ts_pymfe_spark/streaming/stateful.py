@@ -259,3 +259,88 @@ def counter_rate_stream(events: DataFrame,
             timeoutConf=timeout,
         )
     )
+
+
+FUNNEL_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t1", T.TimestampType()),
+        T.StructField("t2", T.TimestampType()),
+        T.StructField("t3", T.TimestampType()),
+        T.StructField("depth", T.IntegerType()),
+    ]
+)
+
+#: completion-time epoch-us per step (null = step not reached)
+FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("t2_us", T.LongType()),
+        T.StructField("t3_us", T.LongType()),
+    ]
+)
+
+
+def funnel_stream(events: DataFrame, steps: list[str],
+                  window_s: float = 86400.0,
+                  state_col: str = "event_type") -> DataFrame:
+    """Streaming 3-step funnel (stateful form of
+    ``operators.funnel.funnel``): state = up to 3 completion
+    timestamps per key; each microbatch advances the greedy-earliest
+    chain and emits the key's CURRENT (t1, t2, t3, depth) row in
+    update mode — downstream consumers keep the latest row per key.
+
+    Chain semantics match the batch operator on per-key time-ordered
+    delivery: t1 = first step-1 event; t_k = first step-k event with
+    ``ts >= t_{k-1}`` and ``ts <= t1 + window_s`` (equal timestamps
+    eligible).  Completion times are monotone under append-only
+    arrival, so a batch replay converges to the batch answer.
+    """
+    if len(steps) != 3:
+        raise ValueError("funnel_stream is specialized to 3 steps")
+    win_us = int(window_s * 1_000_000)
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            st = pdf[state_col].to_numpy()
+            for us, s in zip(ts_us, st):
+                us = int(us)
+                if t1 is None:
+                    if s == steps[0]:
+                        t1 = us
+                elif t2 is None:
+                    if s == steps[1] and t1 <= us <= t1 + win_us:
+                        t2 = us
+                elif t3 is None:
+                    if s == steps[2] and t2 <= us <= t1 + win_us:
+                        t3 = us
+        state.update((t1, t2, t3))
+        depth = 3 if t3 is not None else 2 if t2 is not None \
+            else 1 if t1 is not None else 0
+        to_ts = (lambda us: None if us is None
+                 else pd.Timestamp(us, unit="us"))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "t1": [to_ts(t1)], "t2": [to_ts(t2)],
+             "t3": [to_ts(t3)],
+             "depth": pd.array([depth], dtype="int32")})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_OUTPUT,
+            stateStructType=FUNNEL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
