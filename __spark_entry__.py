@@ -3337,6 +3337,78 @@ def q_counter_deriv(spark, sf_dir):
     return counter_deriv(read(spark, sf_dir, "events"), bucket_s=3600)
 
 
+# hour-of-day x day-of-week seasonal baseline matrix (counters.py
+# seasonal_profile): 168-group aggregate, map-side partials.
+@register(
+    "seasonal_profile",
+    """
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(CAST(value AS DOUBLE)), 6) + 0.0 AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_seasonal_profile(spark, sf_dir):
+    from ts_pymfe_spark.operators.counters import seasonal_profile
+
+    return seasonal_profile(read(spark, sf_dir, "events"))
+
+
+# trailing Pearson correlation between values and inter-arrival gaps
+# (counters.py rolling_corr_gap): explicit moment sums over the frame
+# on both engines; summarized per user for a compact contract.
+@register(
+    "gap_value_coupling",
+    """
+    WITH s AS (
+      SELECT user_id, ts, CAST(value AS DOUBLE) AS y,
+             epoch(CAST(ts AS TIMESTAMP))
+             - lag(epoch(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts) AS x
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, y,
+             count(x) OVER w AS n,
+             sum(x) OVER w AS sx,
+             sum(CASE WHEN x IS NOT NULL THEN y END) OVER w AS sy,
+             sum(x * x) OVER w AS sxx,
+             sum(CASE WHEN x IS NOT NULL THEN y * y END) OVER w AS syy,
+             sum(x * y) OVER w AS sxy
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+      SELECT user_id,
+             round(CASE WHEN n >= 10
+                   AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx)
+                              * (n * syy - sy * sy))
+                  END, 6) + 0.0 AS corr
+      FROM m
+    )
+    SELECT user_id,
+           CAST(count(corr) AS BIGINT) AS n_scored,
+           round(avg(corr), 6) + 0.0 AS mean_corr,
+           round(max(abs(corr)), 6) + 0.0 AS max_abs_corr
+    FROM c GROUP BY 1
+    """,
+)
+def q_gap_value_coupling(spark, sf_dir):
+    from ts_pymfe_spark.operators.counters import rolling_corr_gap
+
+    out = rolling_corr_gap(read(spark, sf_dir, "events"), k=20, min_n=10)
+    return out.groupBy("user_id").agg(
+        F.count("corr_gap").cast("long").alias("n_scored"),
+        (r(F.avg("corr_gap")) + F.lit(0.0)).alias("mean_corr"),
+        (r(F.max(F.abs(F.col("corr_gap")))) + F.lit(0.0))
+        .alias("max_abs_corr"),
+    )
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(

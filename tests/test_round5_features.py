@@ -1649,3 +1649,39 @@ def test_counter_deriv_recovers_known_slope(spark):
            for r0 in counter_deriv(df, bucket_s=60).collect()}
     assert got[1]["slope"] == pytest.approx(0.25, abs=1e-9)
     assert got[2]["slope"] is None and got[2]["n_samples"] == 1
+
+
+def test_seasonal_profile_full_matrix(spark):
+    """Dense input covers the full 7x24 matrix; averages exact."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.counters import seasonal_profile
+
+    rows = [(dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), float(h % 5))
+            for h in range(7 * 24 * 2)]  # two full weeks
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, value double")
+    out = seasonal_profile(df).collect()
+    assert len(out) == 168
+    assert all(r["n_events"] == 2 for r in out)
+
+
+def test_rolling_corr_gap_detects_coupling(spark):
+    """Values proportional to the preceding gap -> corr ~ +1; values
+    independent of gaps stay far from 1; early rows unscored."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.counters import rolling_corr_gap
+
+    t = dt.datetime(2024, 1, 1)
+    gaps = [3, 9, 5, 21, 8, 2, 30, 11, 4, 17, 6, 13, 25, 7, 10,
+            19, 3, 28, 12, 5, 16, 9, 22, 4, 14]
+    rows, cur = [], 0
+    for i, g in enumerate(gaps):
+        cur += g
+        rows.append((1, t + dt.timedelta(seconds=cur), 2.0 * g + 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, value double")
+    out = sorted(rolling_corr_gap(df, k=20, min_n=10).collect(),
+                 key=lambda r0: r0["ts"])
+    assert out[5]["corr_gap"] is None           # < min_n frame points
+    assert out[-1]["corr_gap"] == pytest.approx(1.0, abs=1e-6)

@@ -240,3 +240,59 @@ def counter_deriv(df: DataFrame, key: str = "user_id",
         F.count("*").cast("long").alias("n_samples"),
         (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
     )
+
+
+def seasonal_profile(df: DataFrame, ts_col: str = "ts",
+                     value_col: str = "value") -> DataFrame:
+    """Hour-of-day x day-of-week activity/value profile — the
+    seasonal-naive baseline matrix (168 rows) behind traffic
+    normalization and anomaly context.
+
+    -> (dow, hour, n_events, avg_value); dow 1=Sunday..7=Saturday
+    (Spark dayofweek convention).
+
+    Scale shape: one narrow projection + a 168-group aggregate with
+    map-side partials — the shuffle is 168 rows per task.
+    """
+    return (df.select(
+        F.dayofweek(F.col(ts_col)).alias("dow"),
+        F.hour(F.col(ts_col)).alias("hour"),
+        F.col(value_col).cast("double").alias("_v"))
+        .groupBy("dow", "hour")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             (F.round(F.avg("_v"), 6) + F.lit(0.0)).alias("avg_value")))
+
+
+def rolling_corr_gap(df: DataFrame, key: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     k: int = 20, min_n: int = 10) -> DataFrame:
+    """Trailing-window Pearson correlation between a stream's values
+    and its inter-arrival gaps — a burst-coupling diagnostic (do
+    values spike when events bunch up?).
+
+    Explicit moment-sum form over the frame (cross-engine-stable, like
+    the moving_* family); rows with fewer than ``min_n`` frame points
+    or zero variance are not scored.  Adds ``corr_gap`` (round-6).
+    One exchange (the key window serves lag and frame).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    e = F.col(ts_col).cast("timestamp").cast("double")
+    staged = df.select(
+        F.col(key), F.col(ts_col),
+        F.col(value_col).cast("double").alias("_y"),
+        (e - F.lag(e).over(w)).alias("_x"))
+    fr = (Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+          .rowsBetween(-k, 0))
+    x, y = F.col("_x"), F.col("_y")
+    n = F.count(x).over(fr).cast("double")
+    sx = F.sum(x).over(fr)
+    sy = F.sum(F.when(x.isNotNull(), y)).over(fr)
+    sxx = F.sum(x * x).over(fr)
+    syy = F.sum(F.when(x.isNotNull(), y * y)).over(fr)
+    sxy = F.sum(x * y).over(fr)
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    corr = F.when((n >= min_n) & (den2 > 0),
+                  (n * sxy - sx * sy) / F.sqrt(den2))
+    return staged.select(
+        key, ts_col, F.col("_y").alias(value_col),
+        (F.round(corr, 6) + F.lit(0.0)).alias("corr_gap"))
