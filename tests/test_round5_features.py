@@ -1685,3 +1685,14 @@ def test_rolling_corr_gap_detects_coupling(spark):
                  key=lambda r0: r0["ts"])
     assert out[5]["corr_gap"] is None           # < min_n frame points
     assert out[-1]["corr_gap"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_every_query_has_matching_oracle():
+    """Contract invariant: queries() and oracle_sql() cover exactly
+    the same keys — no silently rows-only query can appear."""
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(q) == set(o)
+    assert len(q) >= 91
+    assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
