@@ -864,3 +864,36 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
                     for s in ("view", "click", "purchase")],
                window_s=86400.0, tiebreak_col="event_id").collect()}
     assert latest == exp
+
+
+def test_streaming_histogram_matches_batch(spark, turns, tmp_path):
+    """Streamed per-microbatch histogram partials, sum-merged on read,
+    equal the batch sketch bin-for-bin — so streamed quantiles equal
+    batch quantiles exactly."""
+    from pyspark.sql import functions as F
+
+    from ts_pymfe_spark.operators.histogram import (histogram_quantile,
+                                                    histogram_sketch)
+    from ts_pymfe_spark.streaming.rollup_stream import (
+        read_hist_sketch,
+        run_hist_stream_to_store,
+    )
+
+    in_dir = str(tmp_path / "hist_in")
+    store = str(tmp_path / "hist_store")
+    ckpt = str(tmp_path / "hist_ckpt")
+    turns.repartition(16).write.mode("overwrite").parquet(in_dir)
+
+    run_hist_stream_to_store(spark, in_dir, store, ckpt)
+    got = read_hist_sketch(spark, store)
+    exp = histogram_sketch(
+        spark.read.parquet(in_dir)
+        .select(F.to_date("ts").alias("day"), "turn_idx"),
+        ["day"], "turn_idx", 0.0, 200.0, 100)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+    gq = sorted(map(tuple, histogram_quantile(
+        got, ["day"], [0.5], 0.0, 200.0, 100).collect()))
+    eq = sorted(map(tuple, histogram_quantile(
+        exp, ["day"], [0.5], 0.0, 200.0, 100).collect()))
+    assert gq == eq

@@ -409,3 +409,39 @@ def read_hll_sketch(spark: SparkSession, store_dir: str) -> DataFrame:
     # `batch` is the partition-discovery column of the store layout,
     # not a sketch key — keeping it would merge per-batch, not across
     return hll_merge(spark.read.parquet(store_dir).drop("batch"))
+
+
+def run_hist_stream_to_store(spark: SparkSession, input_dir: str,
+                             store_dir: str, checkpoint_dir: str,
+                             value_col: str = "turn_idx",
+                             lo: float = 0.0, hi: float = 200.0,
+                             bins: int = 100,
+                             max_files_per_trigger: int = 8) -> None:
+    """availableNow streaming job: per-batch daily histogram-sketch
+    partials (sum-mergeable bin counts — the histogram's analogue of
+    the HLL partials above and the moment partials in
+    run_stream_to_store)."""
+    from ts_pymfe_spark.operators.histogram import histogram_sketch
+
+    def sketch_batch(batch_turns: DataFrame, batch_id: int) -> None:
+        ev = batch_turns.select(F.to_date("ts").alias("day"), value_col)
+        sk = histogram_sketch(ev, ["day"], value_col, lo, hi, bins)
+        sk.write.mode("overwrite").parquet(
+            f"{store_dir}/batch={batch_id}")
+
+    q = (
+        stream_turns(spark, input_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hist_sketch(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge-on-read of streamed histogram partials (sum per (day,
+    bin)) — feed to ``histogram_quantile``."""
+    from ts_pymfe_spark.operators.histogram import histogram_merge
+
+    return histogram_merge(spark.read.parquet(store_dir).drop("batch"))
