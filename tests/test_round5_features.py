@@ -1696,3 +1696,60 @@ def test_every_query_has_matching_oracle():
     assert set(q) == set(o)
     assert len(q) >= 91
     assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
+
+
+# ---------------------------------------------------------------------------
+# sketch algebra properties (hypothesis over a pure-Python mirror of
+# the md5 register pipeline, validated against Spark in one case)
+# ---------------------------------------------------------------------------
+
+def _py_hll_registers(values, p=10, salt="hll"):
+    """Independent Python replica of hll_sketch's register table."""
+    import hashlib
+
+    regs = {}
+    bits = 32 - p
+    mask = (1 << bits) - 1
+    for v in values:
+        h = int(hashlib.md5(f"{salt}|{v}".encode()).hexdigest()[:8], 16)
+        reg = h >> bits
+        suf = h & mask
+        rho = bits + 1 if suf == 0 else bits - suf.bit_length() + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_py_mirror_matches_spark_sketch(spark):
+    from ts_pymfe_spark.operators.sketches import hll_sketch
+
+    vals = [str(i * 37) for i in range(500)]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, v string")
+    got = {r0["register"]: r0["max_rho"]
+           for r0 in hll_sketch(df, ["g"], "v").collect()}
+    assert got == _py_hll_registers(vals)
+
+
+def test_hll_merge_algebra_properties():
+    """Union-homomorphism, commutativity, idempotence of the register
+    algebra over random value sets (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def merge(a, b):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = max(out.get(k, 0), v)
+        return out
+
+    sets = st.lists(st.integers(0, 10_000), max_size=300)
+
+    @settings(max_examples=200, deadline=None)
+    @given(sets, sets)
+    def check(xs, ys):
+        sa, sb = _py_hll_registers(xs), _py_hll_registers(ys)
+        assert merge(sa, sb) == _py_hll_registers(xs + ys)   # union-hom
+        assert merge(sa, sb) == merge(sb, sa)                # commute
+        assert merge(sa, sa) == sa                           # idempotent
+
+    check()
