@@ -3409,6 +3409,62 @@ def q_gap_value_coupling(spark, sf_dir):
     )
 
 
+# funnel bar chart (funnel.py funnel_counts): users reaching >= each
+# step of the 24 h view->click->purchase chain.
+@register(
+    "funnel_counts",
+    """
+    WITH a AS (
+      SELECT user_id, event_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t1
+      FROM events
+    ),
+    b AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1
+                          AND ts <= t1 + INTERVAL 86400 SECOND
+                         THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t2
+      FROM a
+    ),
+    c AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2
+                          AND ts <= t1 + INTERVAL 86400 SECOND
+                         THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t3
+      FROM b
+    ),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN min(t3) IS NOT NULL THEN 3
+                  WHEN min(t2) IS NOT NULL THEN 2
+                  WHEN min(t1) IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM c GROUP BY 1
+    ),
+    steps(step) AS (VALUES (1), (2), (3))
+    SELECT CAST(s.step AS INT) AS step,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM steps s JOIN per_user p ON p.depth >= s.step
+    GROUP BY 1
+    """,
+)
+def q_funnel_counts(spark, sf_dir):
+    from ts_pymfe_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        read(spark, sf_dir, "events"),
+        steps=[F.col("event_type") == "view",
+               F.col("event_type") == "click",
+               F.col("event_type") == "purchase"],
+        key="user_id", ts_col="ts", window_s=86400.0,
+        tiebreak_col="event_id",
+    )
+
+
 # exact rolling adjusted lag-1 ACF (round 2: replaces the Pearson
 # approximation) — window-sum algebra identical on both engines.
 @register(
