@@ -3559,6 +3559,62 @@ def q_rescale_robust(spark, sf_dir):
 # Driver API
 # ---------------------------------------------------------------------------
 
+#: Registration order doubles as the driver's correctness window: the
+#: driver compares roughly the first 50 registered queries against
+#: DuckDB each round.  Round-6 rotation (VERDICT r5 item #1): queries
+#: with no CORRECTNESS row in any prior round come first, then the six
+#: r4-green queries rotated out of the r5 window, then the r5 greens
+#: (which already hold a hard-signal row) — so the union of r05+r06
+#: covers every registered query.  Names absent from this list (future
+#: additions) sort ahead of everything: new queries should always land
+#: inside the next driver window.
+_DRIVER_PRIORITY = [
+    # never driver-checked (36)
+    "semantic_dedup", "sample_corpus", "mixture_rates", "mixture_sample",
+    "pack_sequences", "packing_stats", "kmeans_assign", "cluster_cap",
+    "asof_join", "window_join", "counter_rate", "hll_users_daily",
+    "funnel_vcp", "cohort_retention", "error_window_clicks",
+    "hist_quantiles_user", "top_props_by_type", "event_transitions",
+    "anomaly_counts", "weighted_sample_docs", "hll_users_weekly",
+    "m4_downsample", "lttb_invariants", "twa_daily", "burst_stats",
+    "exact_quantiles_user", "heartbeat_gaps", "profile_events",
+    "event_counts_pivot", "hll_overlap_daily", "conversion_latency",
+    "state_durations", "counter_deriv", "seasonal_profile",
+    "gap_value_coupling", "funnel_counts",
+    # green in r4 only, rotated out of the r5 window (6)
+    "ann_ivf", "emb_label_stats", "emb_neardup", "moving_acf",
+    "rescale_minmax", "rescale_robust",
+    # green in the r5 driver window (50) — keep local strict coverage,
+    # no new hard-signal row needed
+    "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",
+    "moving_sd_shift", "moving_skew", "moving_kurt", "hist_ent_out_diff",
+    "peak_frac", "moving_gmean", "gorilla_roundtrip", "sessionize",
+    "bootstrap_ci", "tile_stats", "diff2_stats", "sdiff_stats", "trev",
+    "tc3", "gen_autocorr", "acf_lags", "frac_cp", "t_mean",
+    "turning_points", "step_changes", "fs_len_stats", "bin_frac",
+    "hist_entropy", "ami_lag1", "dw_stat", "gapfill_1m", "token_stats",
+    "quality_score", "lang_id", "exact_dedup", "bpe_token_stats",
+    "ngram_topk", "filter_corpus", "repetition_stats", "pii_scrub",
+    "contamination", "cdc_dedup", "doc_fingerprint", "jaccard_pairs",
+    "minhash_lsh_candidates", "dedup_clusters", "simhash",
+    "simhash_neardup", "tsmfe_extract", "ann_topk", "ann_lsh",
+]
+
+
+def _reorder_registry() -> None:
+    rank = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    order = sorted(
+        _REG,
+        key=lambda n: (rank.get(n, -1), list(_REG).index(n)),
+    )
+    items = {n: _REG[n] for n in order}
+    _REG.clear()
+    _REG.update(items)
+
+
+_reorder_registry()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full tier cascade over the sf0.001 event stream,
     returning the 1h continuous-aggregate feature table."""

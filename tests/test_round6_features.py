@@ -1,0 +1,152 @@
+"""Round-6 features: hot-key chunked-window plans for the ordered
+counter operators (VERDICT r5 item #2), streaming state eviction, and
+the ADVICE r5 contract fixes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _events(spark, n_keys=7, n_per_key=400, hot_key="hot", hot_n=4000):
+    """Synthetic monotone-ish counter stream with resets, duplicate
+    timestamps, and one key carrying 10x the rows of the rest."""
+    rows = []
+    base = dt.datetime(2025, 1, 1)
+    for k in range(n_keys):
+        key = f"u{k}"
+        v = 0.0
+        for i in range(n_per_key):
+            # deterministic pseudo-random walk with resets
+            step = ((i * 2654435761 + k * 40503) % 97) / 10.0
+            if i % 137 == 136:
+                v = step  # reset
+            else:
+                v += step
+            # uneven spacing incl. exact duplicates every 50th sample
+            t = base + dt.timedelta(seconds=i * 7 + (0 if i % 50 else -7))
+            rows.append((key, k * 100000 + i, t, v))
+    v = 0.0
+    for i in range(hot_n):
+        step = ((i * 69069 + 12345) % 89) / 8.0
+        v = step if i % 211 == 210 else v + step
+        rows.append((hot_key, 10**7 + i,
+                     base + dt.timedelta(seconds=i * 2), v))
+    return spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double")
+
+
+@pytest.fixture(scope="module")
+def counter_df(spark):
+    df = _events(spark).cache()
+    df.count()
+    return df
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_counter_increase_chunked_value_equal(spark, counter_df):
+    from ts_pymfe_spark.operators.counters import counter_increase
+
+    base = counter_increase(counter_df, tiebreak_col="event_id")
+    # chunk far smaller than the stream span so every key crosses many
+    # chunk boundaries (hot key: ~80 chunks)
+    chunked = counter_increase(counter_df, tiebreak_col="event_id",
+                               chunk_s=100)
+    assert _sorted_rows(base, "user_id", "event_id") == \
+        _sorted_rows(chunked, "user_id", "event_id")
+
+
+def test_counter_increase_chunked_empty_chunk_carry(spark):
+    """A gap larger than chunk_s leaves empty chunks between samples;
+    the carry must come from the previous NON-EMPTY chunk."""
+    from ts_pymfe_spark.operators.counters import counter_increase
+
+    base = dt.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [("a", 1, base, 10.0),
+         ("a", 2, base + dt.timedelta(seconds=5000), 25.0),
+         ("a", 3, base + dt.timedelta(seconds=5010), 5.0)],
+        "user_id string, event_id long, ts timestamp, value double")
+    out = {r["event_id"]: (r["increase"], r["is_reset"])
+           for r in counter_increase(df, tiebreak_col="event_id",
+                                     chunk_s=60).collect()}
+    assert out[1] == (None, False)
+    assert out[2] == (15.0, False)   # carried across ~82 empty chunks
+    assert out[3] == (5.0, True)     # reset: raw value
+
+
+def test_counter_rate_chunked_value_equal(spark, counter_df):
+    from ts_pymfe_spark.operators.counters import counter_rate
+
+    base = counter_rate(counter_df, bucket_s=600, tiebreak_col="event_id")
+    chunked = counter_rate(counter_df, bucket_s=600,
+                           tiebreak_col="event_id", chunk_s=100)
+    assert _sorted_rows(base, "user_id", "bucket_start") == \
+        _sorted_rows(chunked, "user_id", "bucket_start")
+
+
+def test_twa_chunked_value_equal(spark, counter_df):
+    from ts_pymfe_spark.operators.counters import time_weighted_avg
+
+    base = time_weighted_avg(counter_df, bucket_s=3600)
+    chunked = time_weighted_avg(counter_df, bucket_s=3600, chunk_s=500)
+    assert _sorted_rows(base, "user_id", "bucket_start") == \
+        _sorted_rows(chunked, "user_id", "bucket_start")
+
+
+def test_burst_chunked_value_equal(spark, counter_df):
+    from ts_pymfe_spark.operators.counters import burst_stats
+
+    base = burst_stats(counter_df, window_s=60)
+    chunked = burst_stats(counter_df, window_s=60, chunk_s=60)
+    assert _sorted_rows(base, "user_id") == _sorted_rows(chunked, "user_id")
+    wider = burst_stats(counter_df, window_s=60, chunk_s=300)
+    assert _sorted_rows(base, "user_id") == _sorted_rows(wider, "user_id")
+
+
+def test_burst_chunk_smaller_than_window_rejected(spark, counter_df):
+    from ts_pymfe_spark.operators.counters import burst_stats
+
+    with pytest.raises(ValueError):
+        burst_stats(counter_df, window_s=60, chunk_s=30)
+
+
+def test_chunked_window_partitions_by_chunk(spark, counter_df):
+    """The skew-mitigation contract: the chunked plan's Window node
+    partitions by (key, chunk), so a single hot key spreads across
+    as many tasks as it has time chunks — never one task per key."""
+    from ts_pymfe_spark.operators.counters import (burst_stats,
+                                                   counter_increase,
+                                                   time_weighted_avg)
+
+    for out in (
+        counter_increase(counter_df, tiebreak_col="event_id", chunk_s=100),
+        time_weighted_avg(counter_df, bucket_s=3600, chunk_s=500),
+        burst_stats(counter_df, window_s=60, chunk_s=60),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        windows = [ln for ln in plan.splitlines() if "Window" in ln]
+        assert windows, plan
+        assert any("_chunk" in ln for ln in windows), plan
+
+
+def test_chunked_hot_key_splits_tasks(spark, counter_df):
+    """Physical evidence of the split: the hot key's rows land in >= 10
+    distinct (key, chunk) hash partitions under the chunked plan, vs
+    exactly 1 under the plain per-key window."""
+    n_part = 32
+    staged = counter_df.where(F.col("user_id") == "hot").select(
+        "user_id", F.floor(F.col("ts").cast("double") / 100).alias("_chunk"))
+    split = (staged.repartition(n_part, "user_id", "_chunk")
+             .withColumn("pid", F.spark_partition_id())
+             .select("pid").distinct().count())
+    mono = (staged.repartition(n_part, "user_id")
+            .withColumn("pid", F.spark_partition_id())
+            .select("pid").distinct().count())
+    assert mono == 1
+    assert split >= 10

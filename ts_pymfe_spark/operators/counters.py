@@ -17,6 +17,20 @@ key, and the (key, bucket) aggregation reuses that partitioning
 (hash(key) clusters any (key, ...) grouping; the same
 subset-of-group-keys property the tier cascade exploits).  All
 arithmetic is lag + CASE + sum: pure SQL, exactly oracle-able.
+
+Hot-key mitigation (round 6, the skew probe's named limit): a
+``Window.partitionBy(key)`` serializes ALL rows of one key through a
+single task — a ~10^10-row conversation would pin one core for hours.
+``counter_increase``/``counter_rate``, ``time_weighted_avg`` and
+``burst_stats`` accept ``chunk_s``: the window then partitions by
+``(key, floor(epoch / chunk_s))`` so a hot key splits across
+time-range tasks, and the cross-chunk state (previous chunk's last
+value / next chunk's first timestamp) is merged back from a
+per-(key, chunk) boundary table — O(#chunks) rows per key, the same
+carried-state shape as streaming/stateful.py.  ``burst_stats`` instead
+replicates each chunk's trailing ``window_s`` seconds into the next
+chunk (ghost rows count in frames, never in output).  All three are
+value-equal to the single-window plan (tests/test_round6_features.py).
 """
 
 from __future__ import annotations
@@ -25,44 +39,86 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch(ts_col: str):
+    """Epoch seconds with sub-second fraction kept (unix_timestamp
+    truncates)."""
+    return F.col(ts_col).cast("timestamp").cast("double")
+
+
 def counter_increase(df: DataFrame, key: str = "user_id",
                      ts_col: str = "ts", value_col: str = "value",
-                     tiebreak_col: str | None = None) -> DataFrame:
+                     tiebreak_col: str | None = None,
+                     chunk_s: int | None = None) -> DataFrame:
     """Per-sample reset-adjusted increase: lag-difference if the
     counter moved forward, the raw value after a reset, null for the
     first sample of a series.  Adds ``increase`` and ``is_reset``.
     Pass ``tiebreak_col`` (a unique id) when ``ts_col`` can collide
-    within a key, to keep the lag order total."""
+    within a key, to keep the lag order total.
+
+    ``chunk_s`` switches to the hot-key plan: the lag window partitions
+    by (key, time-chunk) and each chunk's first row takes its previous
+    value from a per-(key, chunk) boundary table (the previous
+    NON-EMPTY chunk's last sample, found with a lag over the boundary
+    rows — O(#chunks) per key, never O(rows)).  Requires
+    ``tiebreak_col`` when timestamps can collide at a chunk edge."""
     order = [F.col(ts_col).asc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
-    w = Window.partitionBy(key).orderBy(*order)
-    prev = F.lag(value_col).over(w)
-    delta = F.col(value_col) - prev
-    return df.select(
-        "*",
-        F.when(prev.isNull(), F.lit(None).cast("double"))
-        .when(delta < 0, F.col(value_col).cast("double"))
-        .otherwise(delta.cast("double"))
-        .alias("increase"),
-        # coalesce: a series' first sample is NOT a reset (and a null
-        # here would make an all-first-samples bucket sum to null
-        # where 0 is meant)
-        F.coalesce(delta < 0, F.lit(False)).alias("is_reset"),
-    )
+
+    def _inc(prev):
+        delta = F.col(value_col) - prev
+        return (
+            F.when(prev.isNull(), F.lit(None).cast("double"))
+            .when(delta < 0, F.col(value_col).cast("double"))
+            .otherwise(delta.cast("double"))
+            .alias("increase"),
+            # coalesce: a series' first sample is NOT a reset (and a
+            # null here would make an all-first-samples bucket sum to
+            # null where 0 is meant)
+            F.coalesce(delta < 0, F.lit(False)).alias("is_reset"),
+        )
+
+    if chunk_s is None:
+        w = Window.partitionBy(key).orderBy(*order)
+        return df.select("*", *_inc(F.lag(value_col).over(w)))
+
+    staged = df.withColumn("_chunk", F.floor(_epoch(ts_col) / chunk_s))
+    w = Window.partitionBy(key, "_chunk").orderBy(*order)
+    # per-chunk last sample: struct max orders by (ts[, tiebreak]) so
+    # the value rides along in the last slot
+    sort_cols = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        sort_cols.append(F.col(tiebreak_col))
+    last = staged.groupBy(key, "_chunk").agg(
+        F.max(F.struct(*sort_cols, F.col(value_col).alias("_v")))
+        .alias("_last"))
+    bw = Window.partitionBy(key).orderBy("_chunk")
+    carry = last.select(
+        key, "_chunk",
+        F.lag(F.col("_last._v")).over(bw).alias("_carry"))
+    rn = F.row_number().over(w)
+    prev = F.when(rn == 1, F.col("_carry")) \
+        .otherwise(F.lag(value_col).over(w))
+    # both sides hash on (key, _chunk): the join reuses the window's
+    # exchange; the boundary side is one row per (key, chunk)
+    return (staged.join(carry, [key, "_chunk"], "left")
+            .select(*df.columns, *_inc(prev)))
 
 
 def counter_rate(df: DataFrame, key: str = "user_id",
                  ts_col: str = "ts", value_col: str = "value",
                  bucket_s: int = 3600,
-                 tiebreak_col: str | None = None) -> DataFrame:
+                 tiebreak_col: str | None = None,
+                 chunk_s: int | None = None) -> DataFrame:
     """Per (key, bucket) counter rollup: total reset-adjusted
     increase, per-second rate, sample and reset counts.  Bucket start
-    is the floor of ``ts`` to ``bucket_s`` seconds.
+    is the floor of ``ts`` to ``bucket_s`` seconds.  ``chunk_s``
+    selects the hot-key chunked-window plan (see counter_increase).
 
     -> (key, bucket_start, n_samples, n_resets, increase_sum, rate)
     """
-    inc = counter_increase(df, key, ts_col, value_col, tiebreak_col)
+    inc = counter_increase(df, key, ts_col, value_col, tiebreak_col,
+                           chunk_s=chunk_s)
     bucket = F.timestamp_seconds(
         F.floor(
             F.unix_timestamp(F.col(ts_col).cast("timestamp")) / bucket_s
@@ -81,7 +137,8 @@ def counter_rate(df: DataFrame, key: str = "user_id",
 
 def time_weighted_avg(df: DataFrame, key: str = "user_id",
                       ts_col: str = "ts", value_col: str = "value",
-                      bucket_s: int = 86400) -> DataFrame:
+                      bucket_s: int = 86400,
+                      chunk_s: int | None = None) -> DataFrame:
     """Time-weighted average per (key, bucket) with last-observation-
     carried-forward weighting (TimescaleDB ``time_weight('LOCF')``
     semantics over irregular samples).
@@ -96,16 +153,34 @@ def time_weighted_avg(df: DataFrame, key: str = "user_id",
 
     Scale shape: ONE exchange — the lead window partitions by the key
     and the (key, bucket) aggregation reuses it (subset rule).
+    ``chunk_s`` selects the hot-key plan: the lead window partitions by
+    (key, time-chunk) and the chunk's LAST row takes its successor
+    timestamp from the next non-empty chunk's first sample (per-chunk
+    boundary table, lead over O(#chunks) rows).
     """
-    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
     # double cast keeps sub-second fractions (unix_timestamp truncates)
-    e = F.col(ts_col).cast("timestamp").cast("double")
+    e = _epoch(ts_col)
     bucket_num = F.floor(e / bucket_s)
     bucket_end = (bucket_num + 1) * bucket_s
-    nxt = F.lead(e).over(w)
+
+    if chunk_s is None:
+        w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+        nxt = F.lead(e).over(w)
+        pre = df
+    else:
+        pre = df.withColumn("_chunk", F.floor(e / chunk_s))
+        w = Window.partitionBy(key, "_chunk").orderBy(F.col(ts_col).asc())
+        first = pre.groupBy(key, "_chunk").agg(F.min(e).alias("_first_e"))
+        bw = Window.partitionBy(key).orderBy("_chunk")
+        carry = first.select(
+            key, "_chunk",
+            F.lead("_first_e").over(bw).alias("_next_e"))
+        pre = pre.join(carry, [key, "_chunk"], "left")
+        nxt = F.coalesce(F.lead(e).over(w), F.col("_next_e"))
+
     dt = F.least(F.coalesce(nxt, bucket_end.cast("double")),
                  bucket_end.cast("double")) - e
-    staged = df.select(
+    staged = pre.select(
         F.col(key),
         F.timestamp_seconds(bucket_num * bucket_s)
         .cast(df.schema[ts_col].dataType).alias("bucket_start"),
@@ -124,7 +199,8 @@ def time_weighted_avg(df: DataFrame, key: str = "user_id",
 
 
 def burst_stats(df: DataFrame, key: str = "user_id",
-                ts_col: str = "ts", window_s: int = 60) -> DataFrame:
+                ts_col: str = "ts", window_s: int = 60,
+                chunk_s: int | None = None) -> DataFrame:
     """Peak sliding-window event rate per key: the maximum number of
     events in ANY trailing ``window_s`` seconds (rate-limiter /
     burst-detection primitive).
@@ -133,13 +209,37 @@ def burst_stats(df: DataFrame, key: str = "user_id",
     O(n log n) per key, one exchange; the max-reduction reuses the
     window's partitioning.
 
+    ``chunk_s`` (must be >= ``window_s``) selects the hot-key plan:
+    the frame runs per (key, time-chunk) and each chunk's trailing
+    ``window_s`` seconds are REPLICATED into the next chunk as ghost
+    rows — ghosts feed frames but are filtered before output, so every
+    real row still sees its full trailing window.  One extra narrow
+    union of a <= window_s/chunk_s row fraction; no boundary join.
+
     -> (key, n_events, peak_burst, peak_at)
     """
     e = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
     staged = df.select(F.col(key), F.col(ts_col), e.alias("_e"))
-    w = (Window.partitionBy(key).orderBy(F.col("_e"))
-         .rangeBetween(-window_s, 0))
-    cnt = staged.withColumn("_burst", F.count("*").over(w))
+    if chunk_s is None:
+        w = (Window.partitionBy(key).orderBy(F.col("_e"))
+             .rangeBetween(-window_s, 0))
+        cnt = staged.withColumn("_burst", F.count("*").over(w))
+    else:
+        if chunk_s < window_s:
+            raise ValueError("chunk_s must be >= window_s so one "
+                             "neighbor chunk covers the frame")
+        chunk = F.floor(F.col("_e") / chunk_s)
+        main = (staged.withColumn("_chunk", chunk)
+                .withColumn("_ghost", F.lit(False)))
+        ghosts = (staged
+                  .where(F.col("_e") >= (chunk + 1) * chunk_s - window_s)
+                  .withColumn("_chunk", chunk + 1)
+                  .withColumn("_ghost", F.lit(True)))
+        w = (Window.partitionBy(key, "_chunk").orderBy(F.col("_e"))
+             .rangeBetween(-window_s, 0))
+        cnt = (main.unionByName(ghosts)
+               .withColumn("_burst", F.count("*").over(w))
+               .where(~F.col("_ghost")))
     # deterministic argmax via struct max: highest count, then
     # earliest ts (negated epoch makes max pick the smallest ts)
     mx = F.max(F.struct(F.col("_burst").alias("b"),
