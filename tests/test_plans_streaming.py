@@ -897,3 +897,114 @@ def test_streaming_histogram_matches_batch(spark, turns, tmp_path):
     eq = sorted(map(tuple, histogram_quantile(
         exp, ["day"], [0.5], 0.0, 200.0, 100).collect()))
     assert gq == eq
+
+
+def test_counter_stream_event_time_eviction(spark, tmp_path):
+    """Round 6: watermark-driven state eviction for the stateful
+    counter.  A key idle past evict_after_seconds in EVENT time is
+    dropped from the state store once the watermark passes its
+    horizon; its next sample then counts as first-ever (increase null)
+    instead of diffing against the stale value.  Same lazy-sweep
+    timing as dedup_stream: watermark advances at batch end, timed-out
+    groups fire the following batch."""
+    import datetime as dt
+    import time as _time
+
+    from ts_pymfe_spark.streaming.stateful import counter_rate_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    in_dir = str(tmp_path / "cev_in")
+    schema = "user_id long, ts timestamp, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+
+    write([(1, t0, 100.0)])                                   # b1: enter
+    write([(99, t0 + dt.timedelta(seconds=7200), 1.0)])       # b2: advance wm
+    write([(99, t0 + dt.timedelta(seconds=7300), 2.0)])       # b3: sweep
+    write([(1, t0 + dt.timedelta(seconds=7400), 150.0)])      # b4: re-seen
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir)
+              .withWatermark("ts", "10 minutes"))
+    out_dir = str(tmp_path / "cev_out")
+    q = (counter_rate_stream(stream, evict_after_seconds=600)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "cev_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["user_id"], r["ts"]): (r["increase"], r["is_reset"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got[(1, t0)] == (None, False)
+    # evicted between b1 and b4: 150 is a FIRST sample, not a 50 delta
+    assert got[(1, t0 + dt.timedelta(seconds=7400))] == (None, False)
+    # the filler key kept its state across b2->b3 (wm never passed it)
+    assert got[(99, t0 + dt.timedelta(seconds=7300))] == (1.0, False)
+
+
+def test_funnel_stream_event_time_eviction(spark, tmp_path):
+    """Round 6: funnel state eviction.  With an effectively-unbounded
+    funnel window, a click after the key's view would normally reach
+    depth 2 — but the key idled past the eviction horizon, so its
+    chain restarts and the latest row shows depth 0."""
+    import datetime as dt
+    import time as _time
+
+    from ts_pymfe_spark.streaming.stateful import funnel_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    in_dir = str(tmp_path / "fev_in")
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+
+    write([(1, t0, "view")])
+    write([(99, t0 + dt.timedelta(seconds=7200), "view")])
+    write([(99, t0 + dt.timedelta(seconds=7300), "click")])
+    write([(1, t0 + dt.timedelta(seconds=7400), "click")])
+
+    latest = {}
+
+    def keep_latest(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[r["user_id"]] = (r["t1"], r["t2"], r["depth"])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir)
+              .withWatermark("ts", "10 minutes"))
+    q = (funnel_stream(stream, ["view", "click", "purchase"],
+                       window_s=10**7, evict_after_seconds=600)
+         .writeStream.foreachBatch(keep_latest)
+         .option("checkpointLocation", str(tmp_path / "fev_ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    # key 1 was evicted before its click: chain restarted at depth 0
+    assert latest[1] == (None, None, 0)
+    # key 99 stayed within horizon: view->click = depth 2
+    assert latest[99][2] == 2
+
+
+def test_eviction_param_wiring(spark):
+    """idle_timeout (processing-time) and evict_after (event-time) are
+    mutually exclusive; each maps to its GroupStateTimeout conf."""
+    import pytest as _pytest
+
+    from ts_pymfe_spark.streaming.stateful import (_pick_timeout,
+                                                   counter_rate_stream)
+
+    with _pytest.raises(ValueError):
+        _pick_timeout(3600, 600)
+    src = (spark.readStream.format("rate").load()
+           .selectExpr("value AS user_id", "timestamp AS ts",
+                       "CAST(value AS DOUBLE) AS value")
+           .withWatermark("ts", "1 minute"))
+    # both forms must at least build their plans
+    counter_rate_stream(src, idle_timeout_seconds=3600)
+    counter_rate_stream(src, evict_after_seconds=600)

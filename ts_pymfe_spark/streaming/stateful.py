@@ -181,8 +181,40 @@ COUNTER_STATE = T.StructType(
 )
 
 
+def _pick_timeout(idle_timeout_seconds: int | None,
+                  evict_after_seconds: int | None):
+    """Timeout wiring shared by the stateful operators: processing-time
+    idle timeout (continuous deployments) XOR watermark-driven
+    event-time eviction (works under bounded availableNow replays too,
+    since the watermark advances with the data)."""
+    if idle_timeout_seconds is not None and evict_after_seconds is not None:
+        raise ValueError("pass idle_timeout_seconds (processing-time) or "
+                         "evict_after_seconds (event-time), not both")
+    if idle_timeout_seconds is not None:
+        return GroupStateTimeout.ProcessingTimeTimeout
+    if evict_after_seconds is not None:
+        return GroupStateTimeout.EventTimeTimeout
+    return GroupStateTimeout.NoTimeout
+
+
+def _arm_timeout(state: GroupState, last_us: int | None,
+                 idle_timeout_seconds: int | None,
+                 evict_after_seconds: int | None) -> None:
+    if idle_timeout_seconds is not None:
+        state.setTimeoutDuration(idle_timeout_seconds * 1000)
+    elif evict_after_seconds is not None:
+        # evict when the WATERMARK passes the key's last event time +
+        # horizon; the max() keeps the timestamp legal (must exceed the
+        # current watermark) for keys already older than the horizon
+        last_ms = 0 if last_us is None else last_us // 1000
+        state.setTimeoutTimestamp(
+            max(last_ms + evict_after_seconds * 1000,
+                state.getCurrentWatermarkMs() + 1))
+
+
 def counter_rate_stream(events: DataFrame,
-                        idle_timeout_seconds: int | None = None
+                        idle_timeout_seconds: int | None = None,
+                        evict_after_seconds: int | None = None
                         ) -> DataFrame:
     """Streaming reset-adjusted counter increases (the stateful form
     of ``operators.counters.counter_increase``): cross-microbatch
@@ -202,6 +234,14 @@ def counter_rate_stream(events: DataFrame,
     (eviction = the key's next sample counts as first, contributing
     nothing — the Prometheus restart convention); default NoTimeout
     for exactness under bounded ``availableNow`` replays.
+
+    ``evict_after_seconds`` (round 6) is the event-time form: the input
+    must carry ``withWatermark('ts', ...)``; a key whose last sample is
+    older than the horizon when the watermark passes it is evicted —
+    without this, keys never seen again leak 2 scalars forever at
+    100 TB key cardinality.  Unlike the processing-time form this fires
+    deterministically under availableNow replays (the watermark rides
+    the data), so eviction itself is batch-testable.
     """
 
     def fn(
@@ -241,14 +281,9 @@ def counter_rate_stream(events: DataFrame,
                 }
             )
         state.update((last_us, last_value))
-        if idle_timeout_seconds is not None:
-            state.setTimeoutDuration(idle_timeout_seconds * 1000)
+        _arm_timeout(state, last_us, idle_timeout_seconds,
+                     evict_after_seconds)
 
-    timeout = (
-        GroupStateTimeout.NoTimeout
-        if idle_timeout_seconds is None
-        else GroupStateTimeout.ProcessingTimeTimeout
-    )
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
@@ -256,7 +291,8 @@ def counter_rate_stream(events: DataFrame,
             outputStructType=COUNTER_OUTPUT,
             stateStructType=COUNTER_STATE,
             outputMode="append",
-            timeoutConf=timeout,
+            timeoutConf=_pick_timeout(idle_timeout_seconds,
+                                      evict_after_seconds),
         )
     )
 
@@ -283,7 +319,8 @@ FUNNEL_STATE = T.StructType(
 
 def funnel_stream(events: DataFrame, steps: list[str],
                   window_s: float = 86400.0,
-                  state_col: str = "event_type") -> DataFrame:
+                  state_col: str = "event_type",
+                  evict_after_seconds: int | None = None) -> DataFrame:
     """Streaming 3-step funnel (stateful form of
     ``operators.funnel.funnel``): state = up to 3 completion
     timestamps per key; each microbatch advances the greedy-earliest
@@ -295,6 +332,13 @@ def funnel_stream(events: DataFrame, steps: list[str],
     ``ts >= t_{k-1}`` and ``ts <= t1 + window_s`` (equal timestamps
     eligible).  Completion times are monotone under append-only
     arrival, so a batch replay converges to the batch answer.
+
+    ``evict_after_seconds`` (round 6, requires ``withWatermark`` on
+    the input): a key idle past the horizon in event time is evicted
+    when the watermark passes it.  Pick a horizon >= ``window_s``: an
+    open chain past its funnel window can never advance, so eviction
+    then only drops state that is already immutable (its latest row
+    was emitted when last touched).
     """
     if len(steps) != 3:
         raise ValueError("funnel_stream is specialized to 3 steps")
@@ -309,12 +353,14 @@ def funnel_stream(events: DataFrame, steps: list[str],
             state.remove()
             return
         t1, t2, t3 = state.get if state.exists else (None, None, None)
+        last_us = None
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
             ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
             st = pdf[state_col].to_numpy()
             for us, s in zip(ts_us, st):
                 us = int(us)
+                last_us = us if last_us is None else max(last_us, us)
                 if t1 is None:
                     if s == steps[0]:
                         t1 = us
@@ -325,6 +371,7 @@ def funnel_stream(events: DataFrame, steps: list[str],
                     if s == steps[2] and t2 <= us <= t1 + win_us:
                         t3 = us
         state.update((t1, t2, t3))
+        _arm_timeout(state, last_us, None, evict_after_seconds)
         depth = 3 if t3 is not None else 2 if t2 is not None \
             else 1 if t1 is not None else 0
         to_ts = (lambda us: None if us is None
@@ -341,6 +388,6 @@ def funnel_stream(events: DataFrame, steps: list[str],
             outputStructType=FUNNEL_OUTPUT,
             stateStructType=FUNNEL_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=_pick_timeout(None, evict_after_seconds),
         )
     )
