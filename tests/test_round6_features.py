@@ -150,3 +150,80 @@ def test_chunked_hot_key_splits_tasks(spark, counter_df):
             .select("pid").distinct().count())
     assert mono == 1
     assert split >= 10
+
+
+def test_read_tier_raises_on_compacted_store(spark, tmp_path):
+    """ADVICE r5: after compaction sweeps batch dirs, read_tier on the
+    partial store alone would silently return truncated history — it
+    must fail loudly and point at read_tier_compacted."""
+    import json
+    import os
+
+    from ts_pymfe_spark.streaming.rollup_stream import read_tier
+
+    root = tmp_path / "store" / "tier=1m"
+    os.makedirs(root)
+    with open(root / "_compacted_until.json", "w") as f:
+        json.dump({"older_than": "2025-01-01"}, f)
+    with pytest.raises(RuntimeError, match="read_tier_compacted"):
+        read_tier(spark, str(tmp_path / "store"), "1m")
+
+
+def test_histogram_quantile_fractional_names_unique(spark):
+    """ADVICE r5: 0.995 and 1.0 used to both map to 'p100' and the
+    later withColumn silently overwrote the earlier estimate."""
+    from ts_pymfe_spark.operators.histogram import (_q_col_name,
+                                                    histogram_quantiles)
+
+    assert _q_col_name(0.5) == "p50"
+    assert _q_col_name(0.995) == "p99_5"
+    assert _q_col_name(1.0) == "p100"
+    assert _q_col_name(0.0005) == "p0_05"
+
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"), (F.col("id") / 10.0).alias("v"))
+    out = histogram_quantiles(df, ["g"], "v", [0.995, 1.0], 0.0, 100.0)
+    assert "p99_5" in out.columns and "p100" in out.columns
+    row = out.collect()[0]
+    assert row["p99_5"] < row["p100"]
+
+    with pytest.raises(ValueError, match="duplicate"):
+        histogram_quantiles(df, ["g"], "v", [0.5, 0.5], 0.0, 100.0)
+
+
+def test_lttb_nondefault_columns_and_key_type(spark):
+    """ADVICE r5: output schema now follows the input's key/order
+    types and the given column names."""
+    from ts_pymfe_spark.operators.downsample import lttb_downsample
+
+    df = spark.range(500).select(
+        (F.col("id") % 2).alias("series_id"),       # LONG key
+        F.col("id").cast("int").alias("pos"),        # INT order
+        F.sin(F.col("id") / 10.0).alias("reading"))
+    out = lttb_downsample(df, n_out=16, key="series_id",
+                          order_col="pos", value_col="reading")
+    assert out.columns == ["series_id", "pos", "reading"]
+    kinds = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert kinds["series_id"] == "bigint"
+    assert kinds["pos"] == "int"
+    got = out.groupBy("series_id").count().collect()
+    assert sorted((r["series_id"], r["count"]) for r in got) == \
+        [(0, 16), (1, 16)]
+
+
+def test_contamination_check_custom_text_column(spark):
+    """ADVICE r5: the text parameter is now threaded through
+    shingles for both corpus and benchmark sides."""
+    from ts_pymfe_spark.operators.textpipe import contamination_check
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated words here for sure today")],
+        "doc_id long, body string")
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, body string")
+    out = {r["doc_id"]: r["contamination_frac"]
+           for r in contamination_check(corpus, bench, n=5,
+                                        text="body").collect()}
+    assert out[1] > 0.0
+    assert out[2] == 0.0

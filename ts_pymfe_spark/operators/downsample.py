@@ -24,8 +24,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 
 def m4_downsample(df: DataFrame, n_buckets: int = 64,
@@ -105,18 +104,14 @@ def lttb_select(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
     return keep
 
 
-_LTTB_SCHEMA = StructType([
-    StructField("conv_id", StringType()),
-    StructField("turn_idx", LongType()),
-    StructField("value", DoubleType()),
-])
-
-
 def lttb_downsample(df: DataFrame, n_out: int = 64,
                     key: str = "conv_id", order_col: str = "turn_idx",
                     value_col: str = "value") -> DataFrame:
     """Per-series LTTB under ``applyInPandas`` (Arrow-batched, no
-    per-row Python).  Output schema: (conv_id, turn_idx, value).
+    per-row Python).  Output schema: (key, order_col, value_col) with
+    the key and order types taken from the INPUT schema (ADVICE r5:
+    a hard-coded struct mislabeled non-default columns and broke
+    non-string keys at Arrow conversion); values are double.
 
     The explicit numbered repartition keeps AQE from coalescing the
     grouped stage (round-5 summarize() lesson — FlatMapGroupsInPandas
@@ -124,18 +119,24 @@ def lttb_downsample(df: DataFrame, n_out: int = 64,
     """
     import pandas as pd
 
+    schema = StructType([
+        StructField(key, df.schema[key].dataType),
+        StructField(order_col, df.schema[order_col].dataType),
+        StructField(value_col, DoubleType()),
+    ])
+
     def _one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
         x = pdf[order_col].to_numpy(dtype=np.float64)
         y = pdf[value_col].to_numpy(dtype=np.float64)
         keep = lttb_select(x, y, n_out)
         return pd.DataFrame({
-            "conv_id": pdf[key].iloc[0],
-            "turn_idx": pdf[order_col].to_numpy()[keep],
-            "value": y[keep],
+            key: pdf[key].iloc[0],
+            order_col: pdf[order_col].to_numpy()[keep],
+            value_col: y[keep],
         })
 
     n = df.sparkSession.sparkContext.defaultParallelism * 2
     return (df.select(F.col(key), F.col(order_col), F.col(value_col))
             .repartition(n, key)
-            .groupBy(key).applyInPandas(_one, _LTTB_SCHEMA))
+            .groupBy(key).applyInPandas(_one, schema))

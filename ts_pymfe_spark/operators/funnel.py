@@ -13,10 +13,18 @@ anchored at the first step-1 event:
 
 * ``t1`` = earliest ts matching step 1,
 * ``t_k`` = earliest ts matching step k with ``t_k >= t_{k-1}`` and
-  ``t_k <= t1 + window`` (equal timestamps ARE eligible; the order
-  tiebreak only stabilizes which row a running min sees first, the
-  min itself is order-free),
+  ``t_k <= t1 + window``,
 * ``depth`` = number of completed steps.
+
+Same-timestamp contract (ADVICE r5): a step-k event whose ts EQUALS
+the step-(k-1) completion time is matched only if the ``(ts,
+tiebreak)`` sort places it AFTER that completing event — the running
+frame is causal, so ``t_{k-1}`` is not yet visible to rows sorted
+before it.  With a monotone tiebreak (an ingestion-ordered event id,
+as all driver queries use) this is exactly "steps must complete in
+arrival order", and the streaming form (streaming/stateful.py, which
+replays events in the same sort order) agrees row-for-row.  Events at
+strictly later timestamps are always eligible.
 
 Greedy-earliest is optimal here: taking the earliest eligible event at
 every step can only leave more room (never less) for later steps

@@ -59,6 +59,15 @@ def histogram_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
 
 
+def _q_col_name(q: float) -> str:
+    """p50 for integral percents (unchanged from earlier rounds),
+    p99_5 / p0_05 for fractional ones — unique per distinct q."""
+    pct = q * 100
+    if pct == int(pct):
+        return f"p{int(pct)}"
+    return "p" + (f"{pct:.10f}".rstrip("0").replace(".", "_"))
+
+
 def histogram_quantile(sketch: DataFrame, keys: Sequence[str],
                        qs: Sequence[float], lo: float, hi: float,
                        bins: int = 64) -> DataFrame:
@@ -67,7 +76,15 @@ def histogram_quantile(sketch: DataFrame, keys: Sequence[str],
     The cumulative window partitions by the group keys, so the final
     aggregate reuses its partitioning (subset rule) — one exchange of
     O(groups x bins) sketch rows total.
+
+    Column names derive from the FULL q value — p50, p99_5, p0_05 —
+    never the rounded percent (ADVICE r5: 0.995 and 1.0 both rounded
+    to "p100" and the later estimate silently overwrote the earlier);
+    duplicate qs raise.
     """
+    names = [_q_col_name(q) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile column names: {names}")
     width = (hi - lo) / bins
     w = (Window.partitionBy(*keys).orderBy("bin")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -90,8 +107,7 @@ def histogram_quantile(sketch: DataFrame, keys: Sequence[str],
         r = F.lit(float(q)) * F.col("n")
         est = (F.lit(lo) + F.lit(width)
                * (bin_c + (r - (cum_c - cnt_c)) / cnt_c))
-        name = f"p{int(round(q * 100))}"
-        out = out.withColumn(name, F.round(est, 6) + F.lit(0.0))
+        out = out.withColumn(names[i], F.round(est, 6) + F.lit(0.0))
     return out.drop(*[c for c in out.columns if c.startswith("_h")])
 
 

@@ -238,9 +238,10 @@ def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
     )
 
 
-def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    t = with_tokens(df)
+    t = with_tokens(df, text)
     sh = F.transform(
         F.sequence(F.lit(0), F.size("tokens") - n),
         lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, n)),
@@ -584,11 +585,11 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
     groupBy(doc) aggregation (hit-flag sum + total), not two passes.
     """
     bench_grams = (
-        shingles(benchmark, n, id_col=id_col)
+        shingles(benchmark, n, id_col=id_col, text=text)
         .select("shingle").distinct()
         .withColumn("_hit", F.lit(1))
     )
-    doc_grams = shingles(corpus, n, id_col=id_col)
+    doc_grams = shingles(corpus, n, id_col=id_col, text=text)
     per_doc = (
         doc_grams.join(F.broadcast(bench_grams), "shingle", "left")
         .groupBy(id_col)

@@ -121,7 +121,21 @@ def read_tier(spark: SparkSession, store_dir: str, tier: str) -> DataFrame:
     """Merge-on-read: combine per-batch partial vectors into final
     bucket vectors — identical algebra to the batch cascade, so
     streaming output == batch output exactly.  Retention-tombstoned
-    batch dirs are excluded even if a crash left them on disk."""
+    batch dirs are excluded even if a crash left them on disk.
+
+    Fails loudly on a compacted store (ADVICE r5): once
+    ``compact_stream_store`` has swept batch dirs behind the
+    ``_compacted_until`` marker, the partials alone are TRUNCATED
+    history — a stale caller must switch to ``read_tier_compacted``
+    rather than silently get only the newest buckets."""
+    marker = _compaction_marker(store_dir, tier)
+    if marker is not None:
+        raise RuntimeError(
+            f"tier {tier!r} under {store_dir} is compacted up to "
+            f"{marker}: read_tier would return truncated history — "
+            "use read_tier_compacted(spark, store_dir, compact_dir, "
+            "tier) instead"
+        )
     paths = _live_batch_dirs(store_dir, tier)
     if not paths:
         raise FileNotFoundError(
