@@ -227,3 +227,17 @@ def test_contamination_check_custom_text_column(spark):
                                         text="body").collect()}
     assert out[1] > 0.0
     assert out[2] == 0.0
+
+
+def test_connected_components_rounds_logarithmic(spark):
+    """VERDICT r5 #4 support: a 255-node chain (diameter 254) must
+    converge in O(log d) rounds under min-label + path halving — ~8-9
+    plus the convergence-detection round, never ~254."""
+    from ts_pymfe_spark.operators.graph import connected_components
+
+    edges = spark.range(254).selectExpr("id AS src", "id + 1 AS dst")
+    stats = {}
+    cc = connected_components(edges, stats=stats)
+    assert cc.where(F.col("comp") != 0).count() == 0
+    assert cc.count() == 255
+    assert stats["rounds"] <= 12, stats

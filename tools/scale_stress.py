@@ -39,3 +39,39 @@ timed("funnel_10M", funnel(day, [F.col("event_type")==s for s in ("view","click"
 timed("twa_10M", time_weighted_avg(day, bucket_s=86400))
 timed("burst_10M", burst_stats(day, window_s=3600))
 timed("histq_10M", histogram_quantiles(day, ["user_id"], "value", [0.5, 0.95], 0.0, 100.0, 100))
+
+# ---------------------------------------------------------------------------
+# Round 6: connected-components scale stress (VERDICT r5 item #4) — the
+# most shuffle-iterative operator.  10M-edge graph of 64-node chains
+# (diameter 63) plus ONE 4096-node chain (diameter 4095): with min-label
+# + path halving the round count must stay O(log d), never O(d).
+# Correctness is self-evident on chains: comp(v) == v - v % chain_len.
+# ---------------------------------------------------------------------------
+from ts_pymfe_spark.operators.graph import connected_components
+
+E = 10_000_000
+chains = (spark.range(E + E // 64)  # extra ids so edge count lands >= E
+          .where(F.pmod(F.col("id") + 1, F.lit(64)) != 0)
+          .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+          .limit(E))
+LONG_BASE = 2_000_000_000  # disjoint id space for the long chain
+long_chain = (spark.range(4095)
+              .select((F.col("id") + LONG_BASE).alias("src"),
+                      (F.col("id") + LONG_BASE + 1).alias("dst")))
+edges = chains.unionByName(long_chain).persist()
+n_edges = edges.count()
+
+stats = {}
+t0 = time.perf_counter()
+cc = connected_components(edges, stats=stats).persist()
+n_nodes = cc.count()
+wall = time.perf_counter() - t0
+bad_short = (cc.where(F.col("node") < LONG_BASE)
+             .where(F.col("comp") != F.col("node") - F.pmod(F.col("node"),
+                                                            F.lit(64)))
+             .count())
+bad_long = (cc.where(F.col("node") >= LONG_BASE)
+            .where(F.col("comp") != LONG_BASE).count())
+print(f"STRESS cc_10M_edges: {wall:.2f}s nodes={n_nodes} edges={n_edges} "
+      f"rounds={stats['rounds']} (diameter 4095 -> O(log d) bound ~16) "
+      f"wrong_labels={bad_short + bad_long}")

@@ -34,12 +34,18 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 50,
-                         eager_checkpoint: bool = True) -> DataFrame:
+                         eager_checkpoint: bool = True,
+                         stats: dict | None = None) -> DataFrame:
     """Components of the undirected graph given as an edge list ->
     ``(node, comp)`` with ``comp`` = min node id in the component.
     Nodes appearing only as isolated endpoints of self-loops or not at
     all are absent — callers join back to their full entity table for
-    singletons (see ``textpipe.dedup_clusters``)."""
+    singletons (see ``textpipe.dedup_clusters``).
+
+    Pass ``stats={}`` to receive ``{"rounds": k}`` — the number of
+    label-propagation rounds run to the fixpoint (incl. the final
+    no-change round), the O(log diameter) quantity the scale-stress
+    probe records (round 6)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -54,7 +60,9 @@ def connected_components(edges: DataFrame, src: str = "src",
     if eager_checkpoint:
         sym = sym.localCheckpoint()
         labels = labels.localCheckpoint()
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # 1. pull the min neighbor label
         neigh = sym.join(
             labels.withColumnRenamed("node", "b"), "b"
@@ -90,4 +98,6 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = jumped
         if n_changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", "comp")
