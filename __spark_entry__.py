@@ -3556,6 +3556,169 @@ def q_rescale_robust(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-6 analytics additions
+# ---------------------------------------------------------------------------
+
+# gaps-and-islands interval union (intervals.interval_union): per user,
+# total covered seconds of the [ts, ts + value s] spans with overlaps
+# merged — one running-max window, no self-join.
+@register(
+    "interval_union",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch(ts) AS s, epoch(ts) + value AS e FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv),
+    f AS (
+      SELECT user_id, s, e,
+             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+      FROM m),
+    g AS (
+      SELECT user_id, s, e,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM f),
+    i AS (
+      SELECT user_id, island, count(*) AS n, min(s) AS lo, max(e) AS hi
+      FROM g GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           round(sum(hi - lo), 6) + 0.0 AS covered_s
+    FROM i GROUP BY 1
+    """,
+)
+def q_interval_union(spark, sf_dir):
+    from ts_pymfe_spark.operators.intervals import interval_union
+
+    ev = read(spark, sf_dir, "events")
+    e = F.col("ts").cast("timestamp").cast("double")
+    # numeric epoch end keeps exact double arithmetic — a timestamp
+    # round trip would quantize to microseconds and shift covered_s
+    iv = ev.select(
+        "user_id",
+        e.alias("start"),
+        (e + F.col("value")).alias("end"),
+    )
+    return interval_union(iv)
+
+
+# hour-of-week baseline anomaly screen (counters.seasonal_anomaly):
+# |v - cell mean| > 3 sample sd, baseline rounded to 6 dp pre-compare.
+@register(
+    "seasonal_anomaly",
+    """
+    WITH s AS (
+      SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hour,
+             CAST(value AS DOUBLE) AS v
+      FROM events),
+    p AS (
+      SELECT dow, hour,
+             round(sum(v) / count(*), 6) AS mu,
+             round(sqrt(CASE WHEN count(*) > 1
+                              AND (sum(v * v) - sum(v) * sum(v) / count(*))
+                                  / (count(*) - 1) > 0
+                             THEN (sum(v * v) - sum(v) * sum(v) / count(*))
+                                  / (count(*) - 1)
+                             ELSE 0 END), 6) AS sd
+      FROM s GROUP BY 1, 2)
+    SELECT s.dow, s.hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN sd > 0 AND abs(v - mu) > 3.0 * sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(sum(CASE WHEN sd > 0 AND abs(v - mu) > 3.0 * sd
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6) + 0.0
+             AS anom_frac
+    FROM s JOIN p USING (dow, hour) GROUP BY 1, 2
+    """,
+)
+def q_seasonal_anomaly(spark, sf_dir):
+    from ts_pymfe_spark.operators.counters import seasonal_anomaly
+
+    return seasonal_anomaly(read(spark, sf_dir, "events"), k=3.0)
+
+
+# PAA + SAX symbolic downsample (downsample.paa_sax), 8 equal-count
+# segments, alphabet 4, z rounded to 6 dp before the breakpoint cuts.
+@register(
+    "paa_sax",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    r AS (
+      SELECT conv_id, value,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS rn,
+             count(*) OVER (PARTITION BY conv_id) AS n,
+             sum(value) OVER (PARTITION BY conv_id) AS s1,
+             sum(value * value) OVER (PARTITION BY conv_id) AS s2
+      FROM s),
+    seg AS (
+      SELECT conv_id,
+             CAST(floor((rn - 1) * 8.0 / n) AS INT) AS seg, value,
+             round(s1 / n, 6) AS mu,
+             round(CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                        THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END, 6)
+               AS sd
+      FROM r),
+    a AS (
+      SELECT conv_id, seg, CAST(count(*) AS BIGINT) AS n_pts,
+             round(avg(value), 6) AS paa, max(mu) AS mu, max(sd) AS sd
+      FROM seg GROUP BY 1, 2)
+    SELECT conv_id, seg, n_pts, paa + 0.0 AS paa,
+           round((paa - mu) / sd, 6) + 0.0 AS z,
+           CASE WHEN sd IS NULL THEN NULL
+                WHEN round((paa - mu) / sd, 6) <= -0.6744898 THEN 'a'
+                WHEN round((paa - mu) / sd, 6) <= 0.0 THEN 'b'
+                WHEN round((paa - mu) / sd, 6) <= 0.6744898 THEN 'c'
+                ELSE 'd' END AS sym
+    FROM a
+    """,
+)
+def q_paa_sax(spark, sf_dir):
+    from ts_pymfe_spark.operators.downsample import paa_sax
+
+    return paa_sax(_series(spark, sf_dir), n_segments=8, alphabet=4)
+
+
+# per-session aggregates over the sessionizer's assignment
+# (stateful.session_stats) — same 600 s gap / (ts, turn_idx) total
+# order as the sessionize contract query.
+@register(
+    "session_stats",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    g AS (
+      SELECT conv_id, turn_idx, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 600
+                  THEN 1 ELSE 0 END AS f
+      FROM s
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),
+    sess AS (
+      SELECT conv_id, ts,
+             CAST(sum(f) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM g)
+    SELECT conv_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           min(ts) AS session_start,
+           round(epoch(max(ts)) - epoch(min(ts)), 6) + 0.0 AS duration_s
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def q_session_stats(spark, sf_dir):
+    from ts_pymfe_spark.streaming.stateful import session_stats
+
+    return session_stats(_series(spark, sf_dir), gap_seconds=600,
+                         order_cols=("ts", "turn_idx"))
+
+
+# ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
 
@@ -3584,6 +3747,8 @@ _DRIVER_PRIORITY = [
     # green in r4 only, rotated out of the r5 window (6)
     "ann_ivf", "emb_label_stats", "emb_neardup", "moving_acf",
     "rescale_minmax", "rescale_robust",
+    # round-6 additions — never driver-checked, slots 43-46
+    "interval_union", "seasonal_anomaly", "paa_sax", "session_stats",
     # green in the r5 driver window (50) — keep local strict coverage,
     # no new hard-signal row needed
     "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",

@@ -241,3 +241,103 @@ def test_connected_components_rounds_logarithmic(spark):
     assert cc.where(F.col("comp") != 0).count() == 0
     assert cc.count() == 255
     assert stats["rounds"] <= 12, stats
+
+
+def test_interval_union_hand_case(spark):
+    """Overlap, touch (closed intervals merge), gap, containment."""
+    from ts_pymfe_spark.operators.intervals import interval_union
+
+    iv = spark.createDataFrame(
+        [("a", 0.0, 10.0),    # island 1
+         ("a", 5.0, 12.0),    # overlaps -> extends island 1
+         ("a", 12.0, 15.0),   # touches (closed) -> still island 1
+         ("a", 20.0, 30.0),   # island 2
+         ("a", 22.0, 25.0),   # contained in island 2
+         ("b", 1.0, 2.0)],
+        "user_id string, start double, end double")
+    got = {r["user_id"]: (r["n_intervals"], r["n_islands"], r["covered_s"])
+           for r in interval_union(iv).collect()}
+    assert got["a"] == (5, 2, 25.0)   # [0,15] + [20,30]
+    assert got["b"] == (1, 1, 1.0)
+
+
+def test_interval_union_timestamp_input(spark):
+    import datetime as dtm
+
+    from ts_pymfe_spark.operators.intervals import interval_union
+
+    t0 = dtm.datetime(2025, 1, 1)
+    iv = spark.createDataFrame(
+        [("a", t0, t0 + dtm.timedelta(seconds=10)),
+         ("a", t0 + dtm.timedelta(seconds=30),
+          t0 + dtm.timedelta(seconds=40))],
+        "user_id string, start timestamp, end timestamp")
+    row = interval_union(iv).collect()[0]
+    assert (row["n_islands"], row["covered_s"]) == (2, 20.0)
+
+
+def test_seasonal_anomaly_hand_case(spark):
+    """19 identical values + one wild outlier in a single hour-of-week
+    cell -> exactly that one row flags; a constant-value cell (sd=0)
+    flags nothing."""
+    import datetime as dtm
+
+    from ts_pymfe_spark.operators.counters import seasonal_anomaly
+
+    t_a = dtm.datetime(2025, 1, 6, 9, 0)    # Monday 09h
+    t_b = dtm.datetime(2025, 1, 7, 14, 0)   # Tuesday 14h
+    rows = [(t_a + dtm.timedelta(minutes=i), 10.0 + (i % 3)) for i in range(19)]
+    rows.append((t_a + dtm.timedelta(minutes=30), 500.0))
+    rows += [(t_b + dtm.timedelta(minutes=i), 7.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {(r["dow"], r["hour"]): (r["n_events"], r["n_anomalies"])
+           for r in seasonal_anomaly(df, k=3.0).collect()}
+    assert got[(2, 9)] == (20, 1)    # Spark dow: 2 = Monday
+    assert got[(3, 14)] == (5, 0)    # zero spread -> no flags
+
+
+def test_paa_sax_hand_case(spark):
+    """A monotone ramp: segment means ascend, symbols sweep a->d, and
+    a flat series yields NULL z/sym."""
+    from ts_pymfe_spark.operators.downsample import paa_sax
+
+    rows = [("r", i, float(i)) for i in range(16)]
+    rows += [("flat", i, 5.0) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, value double")
+    out = paa_sax(df, n_segments=4, alphabet=4)
+    ramp = {r["seg"]: r for r in out.where("conv_id = 'r'").collect()}
+    assert [ramp[s]["n_pts"] for s in range(4)] == [4, 4, 4, 4]
+    paas = [ramp[s]["paa"] for s in range(4)]
+    assert paas == sorted(paas) == [1.5, 5.5, 9.5, 13.5]
+    assert [ramp[s]["sym"] for s in range(4)] == ["a", "b", "c", "d"]
+    flat = out.where("conv_id = 'flat'").collect()
+    assert all(r["z"] is None and r["sym"] is None for r in flat)
+
+
+def test_paa_sax_segments_partition_invariant(spark):
+    """Equal-count segmentation depends only on (order, n), never on
+    physical partitioning."""
+    from ts_pymfe_spark.operators.downsample import paa_sax
+
+    rows = [("c", i, float((i * 37) % 11)) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, value double")
+    a = sorted(map(tuple, paa_sax(df.repartition(1)).collect()))
+    b = sorted(map(tuple, paa_sax(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_session_stats_hand_case(spark):
+    import datetime as dtm
+
+    from ts_pymfe_spark.streaming.stateful import session_stats
+
+    t0 = dtm.datetime(2025, 1, 1)
+    rows = [("c", 0, t0), ("c", 1, t0 + dtm.timedelta(seconds=100)),
+            ("c", 2, t0 + dtm.timedelta(seconds=5000)),   # new session
+            ("c", 3, t0 + dtm.timedelta(seconds=5100))]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    got = {r["session_id"]: (r["n_turns"], r["duration_s"])
+           for r in session_stats(df, gap_seconds=600).collect()}
+    assert got == {0: (2, 100.0), 1: (2, 100.0)}

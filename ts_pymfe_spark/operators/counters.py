@@ -363,6 +363,48 @@ def seasonal_profile(df: DataFrame, ts_col: str = "ts",
              (F.round(F.avg("_v"), 6) + F.lit(0.0)).alias("avg_value")))
 
 
+def seasonal_anomaly(df: DataFrame, ts_col: str = "ts",
+                     value_col: str = "value",
+                     k: float = 3.0) -> DataFrame:
+    """Seasonal-baseline anomaly screen (round 6): flag events whose
+    value deviates more than ``k`` sample standard deviations from
+    their hour-of-week cell's mean (the ``seasonal_profile`` matrix as
+    the baseline), reported per cell.
+
+    -> (dow, hour, n_events, n_anomalies, anom_frac)
+
+    Baseline mean/sd are ROUNDED to 6 decimals before the comparison
+    so the flag is stable across engines' float summation orders (the
+    same convention as the tier moment algebra).  Cells with <2 events
+    or zero spread flag nothing.
+
+    Scale shape: one narrow projection, a 168-group aggregate with
+    map-side partials, then a BROADCAST of the 168-row profile back
+    onto the stream — the raw rows are never shuffled; the final
+    (dow, hour) count aggregation shuffles 168 rows per task.
+    """
+    cell = [F.dayofweek(F.col(ts_col)).alias("dow"),
+            F.hour(F.col(ts_col)).alias("hour")]
+    staged = df.select(*cell, F.col(value_col).cast("double").alias("_v"))
+    n = F.count("*").cast("double")
+    s1 = F.sum("_v")
+    s2 = F.sum(F.col("_v") * F.col("_v"))
+    var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
+    prof = staged.groupBy("dow", "hour").agg(
+        F.round(s1 / n, 6).alias("_mu"),
+        F.round(F.sqrt(F.when(var > 0, var).otherwise(F.lit(0.0))), 6)
+        .alias("_sd"))
+    flagged = staged.join(F.broadcast(prof), ["dow", "hour"])
+    is_anom = ((F.col("_sd") > 0)
+               & (F.abs(F.col("_v") - F.col("_mu"))
+                  > F.lit(float(k)) * F.col("_sd")))
+    return flagged.groupBy("dow", "hour").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(is_anom.cast("long")).alias("n_anomalies"),
+        (F.round(F.sum(is_anom.cast("long")) / F.count("*"), 6)
+         + F.lit(0.0)).alias("anom_frac"))
+
+
 def rolling_corr_gap(df: DataFrame, key: str = "user_id",
                      ts_col: str = "ts", value_col: str = "value",
                      k: int = 20, min_n: int = 10) -> DataFrame:

@@ -140,3 +140,71 @@ def lttb_downsample(df: DataFrame, n_out: int = 64,
     return (df.select(F.col(key), F.col(order_col), F.col(value_col))
             .repartition(n, key)
             .groupBy(key).applyInPandas(_one, schema))
+
+
+#: SAX breakpoints for equiprobable Gaussian regions (Lin et al. 2003,
+#: "A Symbolic Representation of Time Series"), alphabet size -> cuts.
+SAX_BREAKPOINTS = {
+    3: [-0.4307273, 0.4307273],
+    4: [-0.6744898, 0.0, 0.6744898],
+    5: [-0.8416212, -0.2533471, 0.2533471, 0.8416212],
+}
+
+
+def paa_sax(df: DataFrame, n_segments: int = 8, alphabet: int = 4,
+            key: str = "conv_id", order_col: str = "turn_idx",
+            value_col: str = "value") -> DataFrame:
+    """PAA + SAX per series, pure SQL (round 6): split each series
+    into ``n_segments`` equal-COUNT segments in ``order_col`` order,
+    average each (Piecewise Aggregate Approximation), z-normalize the
+    segment means by the SERIES mean/sd, and classify into the
+    equiprobable-Gaussian SAX alphabet.
+
+    -> (key, seg, n_pts, paa, z, sym); series with zero spread emit a
+    NULL z and the middle symbol convention is avoided by emitting a
+    NULL sym (honest: SAX is undefined for a flat series).
+
+    Rounding convention: paa/z round to 6 decimals BEFORE the
+    breakpoint comparison so the symbol is stable across engines'
+    summation orders.
+
+    Scale shape: ONE exchange — the row_number window partitions by
+    the series key and both the (key, seg) aggregation and the series
+    mean/sd window reuse it (subset rule).  No Python: unlike LTTB the
+    PAA reduction is order-independent within a segment.
+    """
+    from pyspark.sql import Window
+
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of "
+                         f"{sorted(SAX_BREAKPOINTS)}")
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    wk = Window.partitionBy(key)
+    v = F.col(value_col).cast("double")
+    staged = df.select(
+        F.col(key), v.alias("_v"),
+        ((F.row_number().over(w) - 1) * n_segments
+         / F.count("*").over(wk)).cast("int").alias("seg"),
+        F.count("*").over(wk).cast("double").alias("_n"),
+        F.sum(v).over(wk).alias("_s1"),
+        F.sum(v * v).over(wk).alias("_s2"))
+    var = F.when(F.col("_n") > 1,
+                 (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n"))
+                 / (F.col("_n") - 1))
+    sd = F.round(F.sqrt(F.when(var > 0, var)), 6)
+    mu = F.round(F.col("_s1") / F.col("_n"), 6)
+    segs = staged.groupBy(key, "seg").agg(
+        F.count("*").cast("long").alias("n_pts"),
+        F.round(F.avg("_v"), 6).alias("paa"),
+        F.max(mu).alias("_mu"), F.max(sd).alias("_sd"))
+    z = F.round((F.col("paa") - F.col("_mu")) / F.col("_sd"), 6)
+    cuts = SAX_BREAKPOINTS[alphabet]
+    sym = F.lit(chr(ord("a") + len(cuts)))
+    for i in range(len(cuts) - 1, -1, -1):
+        sym = F.when(z <= F.lit(cuts[i]), F.lit(chr(ord("a") + i))) \
+            .otherwise(sym)
+    return segs.select(
+        key, "seg", "n_pts",
+        (F.col("paa") + F.lit(0.0)).alias("paa"),
+        (z + F.lit(0.0)).alias("z"),
+        F.when(F.col("_sd").isNotNull(), sym).alias("sym"))

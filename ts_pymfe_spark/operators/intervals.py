@@ -76,3 +76,56 @@ def points_in_intervals(points: DataFrame, intervals: DataFrame,
         F.count("*").cast("long").alias("n_pairs"),
         F.countDistinct(point_id).cast("long").alias("n_points"),
     )
+
+
+def interval_union(intervals: DataFrame, key: str = "user_id",
+                   start: str = "start", end: str = "end") -> DataFrame:
+    """Per-key union length of (possibly overlapping) closed intervals
+    — the classic gaps-and-islands merge, one window pass (round 6).
+    "Total seconds a conversation had a tool invocation in flight" is
+    this op with tool spans as intervals.
+
+    An interval opens a new island iff its start exceeds the running
+    max end of everything sorted before it; islands then aggregate to
+    their span, keys to their island count and covered total.
+
+    -> (key, n_intervals, n_islands, covered_s)
+
+    Scale shape: ONE exchange — the running-max window partitions by
+    key, and both the (key, island) and (key) aggregations reuse that
+    partitioning (subset-of-group-keys rule).  No self-join, no
+    interval-vs-interval comparison: O(n log n) per key.
+
+    ``start``/``end`` may be timestamps or already-numeric epoch
+    seconds; numeric columns are used as-is (a timestamp round trip
+    would quantize to microseconds and perturb the covered sum).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
+
+    def _epochify(c: str):
+        if isinstance(intervals.schema[c].dataType, NumericType):
+            return F.col(c).cast("double")
+        return F.col(c).cast("timestamp").cast("double")
+
+    s = _epochify(start)
+    e = _epochify(end)
+    w = (Window.partitionBy(key).orderBy(s.asc(), e.asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_max = F.max(e).over(w)
+    staged = intervals.select(
+        F.col(key), s.alias("_s"), e.alias("_e"),
+        F.when(prev_max.isNull() | (s > prev_max), 1)
+        .otherwise(0).alias("_new"))
+    wrun = (Window.partitionBy(key)
+            .orderBy(F.col("_s").asc(), F.col("_e").asc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    staged = staged.withColumn("_island", F.sum("_new").over(wrun))
+    islands = staged.groupBy(key, "_island").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.min("_s").alias("_lo"), F.max("_e").alias("_hi"))
+    return islands.groupBy(key).agg(
+        F.sum("_n").cast("long").alias("n_intervals"),
+        F.count("*").cast("long").alias("n_islands"),
+        (F.round(F.sum(F.col("_hi") - F.col("_lo")), 6)
+         + F.lit(0.0)).alias("covered_s"))

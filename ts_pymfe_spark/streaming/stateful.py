@@ -163,6 +163,30 @@ def sessionize_batch(turns: DataFrame, gap_seconds: int = 1800,
     )
 
 
+def session_stats(turns: DataFrame, gap_seconds: int = 1800,
+                  order_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Per-session aggregates over ``sessionize_batch``'s assignment
+    (round 6): one row per (conv_id, session_id) with turn count,
+    start, and duration.
+
+    -> (conv_id, session_id, n_turns, session_start, duration_s)
+
+    Scale shape: the sessionizer's one exchange by conv_id is reused
+    by the (conv_id, session_id) aggregation (subset rule) — the whole
+    op is a single shuffle of slim turn rows.
+    """
+    from pyspark.sql import functions as F
+
+    sess = sessionize_batch(turns, gap_seconds, order_cols)
+    e = F.col("ts").cast("timestamp").cast("double")
+    return (sess.select("conv_id", "session_id", "ts", e.alias("_e"))
+            .groupBy("conv_id", "session_id")
+            .agg(F.count("*").cast("long").alias("n_turns"),
+                 F.min("ts").alias("session_start"),
+                 (F.round(F.max("_e") - F.min("_e"), 6)
+                  + F.lit(0.0)).alias("duration_s")))
+
+
 COUNTER_OUTPUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
