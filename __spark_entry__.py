@@ -3718,6 +3718,156 @@ def q_session_stats(spark, sf_dir):
                          order_cols=("ts", "turn_idx"))
 
 
+# CUSUM level-shift screen per series (trend.cusum_changepoint):
+# standardized running deviation sum, 5% Brownian-bridge critical
+# value 1.358; mean/sd 6-dp-rounded BEFORE the running sum and each
+# c_t rounded before max/argmax so both engines compare identical
+# values; argmax tie breaks to the smallest turn_idx.
+@register(
+    "cusum_changepoint",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    m AS (
+      SELECT conv_id, turn_idx, value,
+             count(*) OVER wk AS n,
+             round(sum(value) OVER wk * 1.0 / count(*) OVER wk, 6) AS mu,
+             round(CASE WHEN count(*) OVER wk > 1
+                         AND (sum(value * value) OVER wk
+                              - sum(value) OVER wk * sum(value) OVER wk
+                                / count(*) OVER wk)
+                             / (count(*) OVER wk - 1) > 0
+                        THEN sqrt((sum(value * value) OVER wk
+                                   - sum(value) OVER wk * sum(value) OVER wk
+                                     / count(*) OVER wk)
+                                  / (count(*) OVER wk - 1)) END, 6) AS sd
+      FROM s WINDOW wk AS (PARTITION BY conv_id)),
+    c AS (
+      SELECT conv_id, turn_idx, n,
+             abs(round(sum(value - mu)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING)
+                       / (sd * sqrt(n)), 6)) AS absc
+      FROM m),
+    x AS (
+      SELECT conv_id, turn_idx, n, absc,
+             max(absc) OVER (PARTITION BY conv_id) AS stat
+      FROM c)
+    SELECT conv_id, CAST(max(n) AS BIGINT) AS n,
+           max(stat) + 0.0 AS cusum_stat,
+           min(CASE WHEN absc = stat THEN turn_idx END) AS changepoint_at,
+           CAST(max(CASE WHEN stat > 1.358 THEN 1 ELSE 0 END) AS BIGINT)
+             AS detected
+    FROM x GROUP BY 1
+    """,
+)
+def q_cusum_changepoint(spark, sf_dir):
+    from ts_pymfe_spark.operators.trend import cusum_changepoint
+
+    return cusum_changepoint(_series(spark, sf_dir))
+
+
+# rolling OLS slope over the trailing 20 points (trend.rolling_slope);
+# regressor = within-series row_number so sum(x)/sum(x^2) are exact.
+@register(
+    "rolling_slope",
+    f"""
+    WITH s AS ({SERIES_CTE}),
+    r AS (
+      SELECT conv_id, turn_idx,
+             CAST(row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS DOUBLE) AS x,
+             CAST(value AS DOUBLE) AS y
+      FROM s),
+    f AS (
+      SELECT conv_id, turn_idx,
+             count(*) OVER wf AS n, sum(x) OVER wf AS sx,
+             sum(y) OVER wf AS sy, sum(x * x) OVER wf AS sxx,
+             sum(x * y) OVER wf AS sxy
+      FROM r WINDOW wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT conv_id, turn_idx,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+             AS slope_k
+    FROM f WHERE n >= 20
+    """,
+)
+def q_rolling_slope(spark, sf_dir):
+    from ts_pymfe_spark.operators.trend import rolling_slope
+
+    return rolling_slope(_series(spark, sf_dir), k=20)
+
+
+# Goh-Barabasi burstiness index + CV of inter-arrival gaps per user
+# (counters.burstiness); two-pass centered variance, ratios rounded
+# AFTER their normalizing division.
+@register(
+    "burstiness",
+    """
+    WITH g0 AS (
+      SELECT user_id,
+             epoch(ts) - lag(epoch(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS g
+      FROM events),
+    g AS (SELECT user_id, g FROM g0 WHERE g IS NOT NULL),
+    m AS (
+      SELECT user_id, count(*) AS n, round(avg(g), 6) AS mu
+      FROM g GROUP BY 1),
+    s AS (
+      SELECT g.user_id, max(m.n) AS n, max(m.mu) AS mu,
+             sum((g.g - m.mu) * (g.g - m.mu)) AS ss
+      FROM g JOIN m USING (user_id) GROUP BY 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps, mu + 0.0 AS mean_gap_s,
+           round(CASE WHEN n > 1 AND mu > 0
+                      THEN sqrt(ss / (n - 1)) / mu END, 6) + 0.0 AS cv,
+           round(CASE WHEN n > 1 AND mu > 0
+                      THEN (sqrt(ss / (n - 1)) - mu)
+                           / (sqrt(ss / (n - 1)) + mu) END, 6) + 0.0
+             AS burstiness
+    FROM s
+    """,
+)
+def q_burstiness(spark, sf_dir):
+    from ts_pymfe_spark.operators.counters import burstiness
+
+    return burstiness(read(spark, sf_dir, "events"))
+
+
+# robust MAD anomaly screen per user (counters.mad_anomaly):
+# |v - median| > 3.5 * 1.4826 * MAD, exact full-sort percentiles
+# (Spark `percentile` == DuckDB `quantile_cont`), 6-dp-rounded
+# baselines pre-compare.
+@register(
+    "mad_anomaly",
+    """
+    WITH v AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS v FROM events),
+    med AS (
+      SELECT user_id, round(quantile_cont(v, 0.5), 6) AS med
+      FROM v GROUP BY 1),
+    ad AS (
+      SELECT v.user_id, med.med, abs(v.v - med.med) AS ad
+      FROM v JOIN med USING (user_id)),
+    md AS (
+      SELECT user_id, round(quantile_cont(ad, 0.5), 6) AS mad
+      FROM ad GROUP BY 1)
+    SELECT ad.user_id, CAST(count(*) AS BIGINT) AS n_events,
+           max(ad.med) + 0.0 AS med, max(md.mad) + 0.0 AS mad,
+           CAST(sum(CASE WHEN md.mad > 0
+                          AND ad.ad > 3.5 * 1.4826 * md.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(sum(CASE WHEN md.mad > 0
+                           AND ad.ad > 3.5 * 1.4826 * md.mad
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6) + 0.0
+             AS anom_frac
+    FROM ad JOIN md USING (user_id) GROUP BY 1
+    """,
+)
+def q_mad_anomaly(spark, sf_dir):
+    from ts_pymfe_spark.operators.counters import mad_anomaly
+
+    return mad_anomaly(read(spark, sf_dir, "events"), k=3.5)
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -3747,8 +3897,9 @@ _DRIVER_PRIORITY = [
     # green in r4 only, rotated out of the r5 window (6)
     "ann_ivf", "emb_label_stats", "emb_neardup", "moving_acf",
     "rescale_minmax", "rescale_robust",
-    # round-6 additions — never driver-checked, slots 43-46
+    # round-6 additions — never driver-checked, slots 43-50
     "interval_union", "seasonal_anomaly", "paa_sax", "session_stats",
+    "cusum_changepoint", "rolling_slope", "burstiness", "mad_anomaly",
     # green in the r5 driver window (50) — keep local strict coverage,
     # no new hard-signal row needed
     "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",

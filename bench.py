@@ -134,6 +134,9 @@ def run_headline(spark) -> dict[str, float]:
         # round-5 analytics additions (all over the events table)
         "hll_users_daily", "hist_quantiles_user", "funnel_vcp",
         "error_window_clicks",
+        # round-6 additions: gaps-and-islands, symbolic downsample,
+        # CUSUM changepoint, robust MAD screen
+        "interval_union", "paa_sax", "cusum_changepoint", "mad_anomaly",
     ]
     qs = E.queries()
     # Untimed warm-up: the first query otherwise absorbs session JIT +

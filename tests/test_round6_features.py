@@ -341,3 +341,79 @@ def test_session_stats_hand_case(spark):
     got = {r["session_id"]: (r["n_turns"], r["duration_s"])
            for r in session_stats(df, gap_seconds=600).collect()}
     assert got == {0: (2, 100.0), 1: (2, 100.0)}
+
+
+def test_cusum_changepoint_level_shift(spark):
+    """20 zeros then 20 tens: max |cusum| lands exactly at the shift
+    (turn_idx 19) with stat 100/(sd*sqrt(40)) ~ 3.12 >> 1.358; an
+    alternating +-1 series stays under the gate; a constant series
+    emits NULL stat and detected=0."""
+    from ts_pymfe_spark.operators.trend import cusum_changepoint
+
+    rows = [("shift", i, 0.0 if i < 20 else 10.0) for i in range(40)]
+    rows += [("alt", i, float(1 if i % 2 else -1)) for i in range(40)]
+    rows += [("flat", i, 7.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, value double")
+    got = {r["conv_id"]: r for r in cusum_changepoint(df).collect()}
+    assert got["shift"]["detected"] == 1
+    assert got["shift"]["changepoint_at"] == 19
+    assert abs(got["shift"]["cusum_stat"] - 3.122498) < 1e-5
+    assert got["alt"]["detected"] == 0
+    assert got["flat"]["cusum_stat"] is None
+    assert got["flat"]["detected"] == 0
+    assert got["flat"]["changepoint_at"] is None
+
+
+def test_rolling_slope_ramp_and_flat(spark):
+    from ts_pymfe_spark.operators.trend import rolling_slope
+
+    rows = [("ramp", i, 2.0 * i) for i in range(30)]
+    rows += [("flat", i, 3.0) for i in range(25)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, value double")
+    out = rolling_slope(df, k=20).collect()
+    ramp = [r for r in out if r["conv_id"] == "ramp"]
+    flat = [r for r in out if r["conv_id"] == "flat"]
+    assert len(ramp) == 11 and len(flat) == 6   # n - k + 1 full frames
+    assert all(r["slope_k"] == 2.0 for r in ramp)
+    assert all(r["slope_k"] == 0.0 for r in flat)
+
+
+def test_burstiness_hand_cases(spark):
+    """Perfect heartbeat -> B = -1, cv = 0; gaps (1, 3) -> closed-form
+    cv/B; a 2-event key (one gap) -> NULL ratios."""
+    import datetime as dtm
+
+    from ts_pymfe_spark.operators.counters import burstiness
+
+    t0 = dtm.datetime(2025, 1, 1)
+
+    def at(s):
+        return t0 + dtm.timedelta(seconds=s)
+
+    rows = [(1, at(s)) for s in (0, 10, 20, 30)]
+    rows += [(2, at(s)) for s in (0, 1, 4)]      # gaps 1, 3
+    rows += [(3, at(s)) for s in (0, 5)]         # one gap
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["user_id"]: r for r in burstiness(df).collect()}
+    assert (got[1]["n_gaps"], got[1]["mean_gap_s"]) == (3, 10.0)
+    assert got[1]["cv"] == 0.0 and got[1]["burstiness"] == -1.0
+    assert abs(got[2]["cv"] - 0.707107) < 1e-6
+    assert abs(got[2]["burstiness"] - (-0.171573)) < 1e-6
+    assert got[3]["cv"] is None and got[3]["burstiness"] is None
+
+
+def test_mad_anomaly_hand_case(spark):
+    """1..9 plus a wild 100: median 5.5, MAD 2.5, threshold
+    3.5*1.4826*2.5 = 12.97 -> exactly the outlier flags; a constant
+    key (MAD 0) flags nothing."""
+    from ts_pymfe_spark.operators.counters import mad_anomaly
+
+    rows = [(1, float(v)) for v in range(1, 10)] + [(1, 100.0)]
+    rows += [(2, 4.0)] * 5
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    got = {r["user_id"]: r for r in mad_anomaly(df, k=3.5).collect()}
+    assert (got[1]["med"], got[1]["mad"]) == (5.5, 2.5)
+    assert (got[1]["n_events"], got[1]["n_anomalies"]) == (10, 1)
+    assert (got[2]["mad"], got[2]["n_anomalies"]) == (0.0, 0)

@@ -75,3 +75,28 @@ bad_long = (cc.where(F.col("node") >= LONG_BASE)
 print(f"STRESS cc_10M_edges: {wall:.2f}s nodes={n_nodes} edges={n_edges} "
       f"rounds={stats['rounds']} (diameter 4095 -> O(log d) bound ~16) "
       f"wrong_labels={bad_short + bad_long}")
+
+# ---------------------------------------------------------------------------
+# Round 6: the new ordered-window / robust-baseline analytics family at
+# 10M events — trend (CUSUM + rolling slope, per-series windows),
+# burstiness (two-pass centered gap variance), MAD anomaly (two exact
+# full-sort percentiles per key), interval union (gaps-and-islands) and
+# PAA/SAX.  All plan one exchange via the subset-of-group-keys rule;
+# the walls here record that each stays shuffle-bounded at 100x the
+# contract-scale inputs.
+# ---------------------------------------------------------------------------
+from ts_pymfe_spark.operators.trend import cusum_changepoint, rolling_slope
+from ts_pymfe_spark.operators.counters import burstiness, mad_anomaly
+from ts_pymfe_spark.operators.intervals import interval_union
+from ts_pymfe_spark.operators.downsample import paa_sax
+
+series = ev.select(F.col("user_id").cast("string").alias("conv_id"),
+                   F.col("event_id").alias("turn_idx"), "ts", "value")
+timed("cusum_10M", cusum_changepoint(series))
+timed("rolling_slope_10M", rolling_slope(series, k=20))
+timed("burstiness_10M", burstiness(ev))
+timed("mad_anomaly_10M", mad_anomaly(ev))
+e6 = F.col("ts").cast("timestamp").cast("double")
+iv = ev.select("user_id", e6.alias("start"), (e6 + F.col("value")).alias("end"))
+timed("interval_union_10M", interval_union(iv))
+timed("paa_sax_10M", paa_sax(series, n_segments=8, alphabet=4))

@@ -438,3 +438,91 @@ def rolling_corr_gap(df: DataFrame, key: str = "user_id",
     return staged.select(
         key, ts_col, F.col("_y").alias(value_col),
         (F.round(corr, 6) + F.lit(0.0)).alias("corr_gap"))
+
+
+def burstiness(df: DataFrame, key: str = "user_id",
+               ts_col: str = "ts") -> DataFrame:
+    """Inter-arrival burstiness per key (round 6): the Goh-Barabasi
+    burstiness index B = (sd - mean)/(sd + mean) of the event gaps,
+    plus the coefficient of variation — B = -1 for a perfect
+    heartbeat, 0 for Poisson, -> 1 for extreme bursts.  The
+    distributional complement to ``heartbeat_gaps``'s threshold view.
+
+    -> (key, n_gaps, mean_gap_s, cv, burstiness); keys with < 2 gaps
+    (or zero mean) emit NULL cv/burstiness.
+
+    Numerics: gap variance uses the TWO-PASS centered form — the mean
+    gap (6-dp-rounded) joins back onto the gaps and the variance sums
+    (g - mu)^2, keeping addend magnitudes at spread scale (the raw
+    sum-of-squares form carries ~1e12 partial sums whose engine
+    summation-order error survives a 6-dp round).  cv/B round after
+    their normalizing division.
+
+    Scale shape: ONE exchange — the lag window, both per-key
+    aggregations and the mean join all partition by ``key`` (subset
+    rule); per-key state is two scalars.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    e = F.col(ts_col).cast("timestamp").cast("double")
+    gaps = (df.select(F.col(key), (e - F.lag(e).over(w)).alias("_g"))
+            .where(F.col("_g").isNotNull()))
+    mu = gaps.groupBy(key).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.round(F.avg("_g"), 6).alias("_mu"))
+    d = F.col("_g") - F.col("_mu")
+    stats = (gaps.join(mu, key)
+             .groupBy(key)
+             .agg(F.max("_n").alias("_n"), F.max("_mu").alias("_mu"),
+                  F.sum(d * d).alias("_ss")))
+    sd = F.sqrt(F.col("_ss") / (F.col("_n") - 1))
+    ok = (F.col("_n") > 1) & (F.col("_mu") > 0)
+    return stats.select(
+        F.col(key),
+        F.col("_n").cast("long").alias("n_gaps"),
+        (F.col("_mu") + F.lit(0.0)).alias("mean_gap_s"),
+        (F.round(F.when(ok, sd / F.col("_mu")), 6)
+         + F.lit(0.0)).alias("cv"),
+        (F.round(F.when(ok, (sd - F.col("_mu")) / (sd + F.col("_mu"))), 6)
+         + F.lit(0.0)).alias("burstiness"))
+
+
+def mad_anomaly(df: DataFrame, key: str = "user_id",
+                value_col: str = "value", k: float = 3.5) -> DataFrame:
+    """Robust per-key anomaly screen (round 6): flag values whose
+    distance from the key's MEDIAN exceeds ``k`` times the scaled
+    median absolute deviation (1.4826 * MAD, consistent for the normal
+    sd — Iglewicz & Hoaglin 1993, k=3.5 their recommended cut).  The
+    robust complement to ``seasonal_anomaly``'s mean/sd screen: a few
+    wild outliers cannot inflate their own baseline.
+
+    -> (key, n_events, med, mad, n_anomalies, anom_frac); keys with
+    MAD = 0 flag nothing (degenerate spread, same convention as the
+    sd = 0 seasonal cell).
+
+    med/mad are exact full-sort percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, the convention verified by
+    exact_quantiles_user), rounded to 6 decimals before the compare.
+
+    Scale shape: ONE exchange — both percentile aggregations and both
+    joins partition by ``key`` (subset rule).  Exact medians full-sort
+    within each key's partition; at genuinely hot keys swap in the
+    histogram sketch (operators/histogram.py) upstream.
+    """
+    v = F.col(value_col).cast("double")
+    staged = df.select(F.col(key), v.alias("_v"))
+    med = staged.groupBy(key).agg(
+        F.round(F.expr("percentile(_v, 0.5)"), 6).alias("_med"))
+    absdev = (staged.join(med, key)
+              .withColumn("_ad", F.abs(F.col("_v") - F.col("_med"))))
+    mad = absdev.groupBy(key).agg(
+        F.round(F.expr("percentile(_ad, 0.5)"), 6).alias("_mad"))
+    flagged = absdev.join(mad, key)
+    is_anom = ((F.col("_mad") > 0)
+               & (F.col("_ad") > F.lit(float(k)) * 1.4826 * F.col("_mad")))
+    return flagged.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("_med") + F.lit(0.0)).alias("med"),
+        (F.max("_mad") + F.lit(0.0)).alias("mad"),
+        F.sum(is_anom.cast("long")).alias("n_anomalies"),
+        (F.round(F.sum(is_anom.cast("long")) / F.count("*"), 6)
+         + F.lit(0.0)).alias("anom_frac"))
