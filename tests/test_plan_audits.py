@@ -224,3 +224,92 @@ def test_time_predicate_reaches_parquet_scan(spark, tmp_path):
                for i in range(meta.num_columns)].index("bucket_start")
     st = meta.row_group(0).column(col_idx).statistics
     assert st is not None and st.has_min_max  # INT96 would be None
+
+
+# ---------------------------------------------------------------------------
+# Round-6 analytics ops: the docstring "ONE exchange" claims,
+# machine-checked.  AQE plans report "Exchange" nodes inside
+# AdaptiveSparkPlan; count hashpartitioning exchanges only (broadcast
+# exchanges are the intended small-side strategy, not a shuffle of the
+# fact rows).
+# ---------------------------------------------------------------------------
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _series6(spark):
+    ev = _events(spark)
+    return ev.select(F.col("user_id").cast("string").alias("conv_id"),
+                     F.col("event_id").alias("turn_idx"), "ts", "value")
+
+
+def test_interval_union_single_exchange(spark):
+    from ts_pymfe_spark.operators.intervals import interval_union
+
+    ev = _events(spark)
+    e = F.col("ts").cast("timestamp").cast("double")
+    iv = ev.select("user_id", e.alias("start"),
+                   (e + F.col("value")).alias("end"))
+    p = plan(interval_union(iv))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_cusum_changepoint_single_exchange(spark):
+    from ts_pymfe_spark.operators.trend import cusum_changepoint
+
+    p = plan(cusum_changepoint(_series6(spark)))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_rolling_slope_single_exchange(spark):
+    from ts_pymfe_spark.operators.trend import rolling_slope
+
+    p = plan(rolling_slope(_series6(spark), k=20))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_paa_sax_single_exchange(spark):
+    from ts_pymfe_spark.operators.downsample import paa_sax
+
+    p = plan(paa_sax(_series6(spark)))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_session_stats_single_exchange(spark):
+    from ts_pymfe_spark.streaming.stateful import session_stats
+
+    p = plan(session_stats(_series6(spark), gap_seconds=600,
+                           order_cols=("ts", "turn_idx")))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_burstiness_single_exchange(spark):
+    from ts_pymfe_spark.operators.counters import burstiness
+
+    p = plan(burstiness(_events(spark)))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_mad_anomaly_single_exchange_no_broadcast_of_per_key_baselines(spark):
+    """Both percentile aggs and both joins key on user_id: ONE
+    exchange, and the per-key baselines must JOIN on the existing
+    partitioning, never broadcast (at corpus scale the baseline table
+    is as big as the key domain)."""
+    from ts_pymfe_spark.operators.counters import mad_anomaly
+
+    p = plan(mad_anomaly(_events(spark)))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_seasonal_anomaly_raw_rows_never_shuffled(spark):
+    """The 168-row hour-of-week profile must come back as a BROADCAST
+    join onto the event stream; the only hashpartitioning exchanges
+    carry (dow, hour) aggregates (<= 168 rows per task after partial
+    agg), never raw events."""
+    from ts_pymfe_spark.operators.counters import seasonal_anomaly
+
+    p = plan(seasonal_anomaly(_events(spark), k=3.0))
+    assert "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p

@@ -451,28 +451,31 @@ def burstiness(df: DataFrame, key: str = "user_id",
     -> (key, n_gaps, mean_gap_s, cv, burstiness); keys with < 2 gaps
     (or zero mean) emit NULL cv/burstiness.
 
-    Numerics: gap variance uses the TWO-PASS centered form — the mean
-    gap (6-dp-rounded) joins back onto the gaps and the variance sums
-    (g - mu)^2, keeping addend magnitudes at spread scale (the raw
-    sum-of-squares form carries ~1e12 partial sums whose engine
-    summation-order error survives a 6-dp round).  cv/B round after
-    their normalizing division.
+    Numerics: gap variance uses the TWO-PASS centered form — the
+    6-dp-rounded mean gap is attached to every gap row and the
+    variance sums (g - mu)^2, keeping addend magnitudes at spread
+    scale (the raw sum-of-squares form carries ~1e12 partial sums
+    whose engine summation-order error survives a 6-dp round).  cv/B
+    round after their normalizing division.
 
-    Scale shape: ONE exchange — the lag window, both per-key
-    aggregations and the mean join all partition by ``key`` (subset
-    rule); per-key state is two scalars.
+    Scale shape: ONE exchange — the mean comes back as an UNBOUNDED
+    per-key window over the gaps rather than a self-join (a join would
+    make Spark re-derive the gap subplan — a second scan + second
+    shuffle of the raw events — and at small SF broadcast the raw fact
+    rows; plan-audited in tests/test_plan_audits.py).  The lag window,
+    the mean window and the final aggregation all partition by ``key``
+    (subset rule); per-key state is two scalars.
     """
     w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    wk = Window.partitionBy(key)
     e = F.col(ts_col).cast("timestamp").cast("double")
     gaps = (df.select(F.col(key), (e - F.lag(e).over(w)).alias("_g"))
-            .where(F.col("_g").isNotNull()))
-    mu = gaps.groupBy(key).agg(
-        F.count("*").cast("double").alias("_n"),
-        F.round(F.avg("_g"), 6).alias("_mu"))
+            .where(F.col("_g").isNotNull())
+            .withColumn("_mu", F.round(F.avg("_g").over(wk), 6)))
     d = F.col("_g") - F.col("_mu")
-    stats = (gaps.join(mu, key)
-             .groupBy(key)
-             .agg(F.max("_n").alias("_n"), F.max("_mu").alias("_mu"),
+    stats = (gaps.groupBy(key)
+             .agg(F.count("*").cast("double").alias("_n"),
+                  F.max("_mu").alias("_mu"),
                   F.sum(d * d).alias("_ss")))
     sd = F.sqrt(F.col("_ss") / (F.col("_n") - 1))
     ok = (F.col("_n") > 1) & (F.col("_mu") > 0)
@@ -503,20 +506,26 @@ def mad_anomaly(df: DataFrame, key: str = "user_id",
     DuckDB ``quantile_cont``, the convention verified by
     exact_quantiles_user), rounded to 6 decimals before the compare.
 
-    Scale shape: ONE exchange — both percentile aggregations and both
-    joins partition by ``key`` (subset rule).  Exact medians full-sort
-    within each key's partition; at genuinely hot keys swap in the
-    histogram sketch (operators/histogram.py) upstream.
+    Scale shape: ONE exchange — both medians come back as UNBOUNDED
+    per-key windows over the slim (key, value) projection rather than
+    agg-plus-join-back (a self-join makes Spark re-derive each
+    subplan: four scans, four shuffles, and per-key baseline tables on
+    the broadcast side — tables as big as the key domain at corpus
+    scale).  The two windows and the final aggregation all partition
+    by ``key`` (subset rule); plan-audited
+    (tests/test_plan_audits.py).  Exact medians full-sort within each
+    key's partition; at genuinely hot keys swap in the histogram
+    sketch (operators/histogram.py) upstream.
     """
     v = F.col(value_col).cast("double")
-    staged = df.select(F.col(key), v.alias("_v"))
-    med = staged.groupBy(key).agg(
-        F.round(F.expr("percentile(_v, 0.5)"), 6).alias("_med"))
-    absdev = (staged.join(med, key)
-              .withColumn("_ad", F.abs(F.col("_v") - F.col("_med"))))
-    mad = absdev.groupBy(key).agg(
-        F.round(F.expr("percentile(_ad, 0.5)"), 6).alias("_mad"))
-    flagged = absdev.join(mad, key)
+    wk = Window.partitionBy(key)
+    flagged = (
+        df.select(F.col(key), v.alias("_v"))
+        .withColumn("_med",
+                    F.round(F.expr("percentile(_v, 0.5)").over(wk), 6))
+        .withColumn("_ad", F.abs(F.col("_v") - F.col("_med")))
+        .withColumn("_mad",
+                    F.round(F.expr("percentile(_ad, 0.5)").over(wk), 6)))
     is_anom = ((F.col("_mad") > 0)
                & (F.col("_ad") > F.lit(float(k)) * 1.4826 * F.col("_mad")))
     return flagged.groupBy(key).agg(
