@@ -3869,6 +3869,225 @@ def q_mad_anomaly(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Drift-monitoring family (operators/drift.py, round 6): two-sample KS,
+# PSI, per-day column health.  Population split for the contract
+# queries: user cohort A/B = user_id % 2 — deterministic, engine-free.
+# ---------------------------------------------------------------------------
+
+_DRIFT_V = (
+    "SELECT event_type, CAST(value AS DOUBLE) AS v, "
+    "CAST(user_id % 2 AS INT) AS g FROM events WHERE value IS NOT NULL"
+)
+
+
+# two-sample Kolmogorov-Smirnov per event_type (drift.ks_drift):
+# pooled-ECDF max gap via RANGE cumulative windows (ties see their
+# full tie group), 5% Brownian-bridge gate 1.358.
+@register(
+    "ks_drift",
+    f"""
+    WITH v AS ({_DRIFT_V}),
+    c AS (
+      SELECT event_type,
+             sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) OVER
+               (PARTITION BY event_type ORDER BY v
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) OVER
+               (PARTITION BY event_type ORDER BY v
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type) AS n0,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type) AS n1
+      FROM v),
+    a AS (
+      SELECT event_type, max(n0) AS n0, max(n1) AS n1,
+             max(abs(CAST(c0 AS DOUBLE) / n0
+                     - CAST(c1 AS DOUBLE) / n1)) AS d
+      FROM c GROUP BY 1)
+    SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(CASE WHEN n0 > 0 AND n1 > 0 THEN d END, 6) + 0.0 AS ks_d,
+           round(CASE WHEN n0 > 0 AND n1 > 0 THEN
+                   1.358 * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                                / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+                 END, 6) + 0.0 AS ks_crit,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+             d > 1.358 * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                              / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+           END AS drifted
+    FROM a
+    """,
+)
+def q_ks_drift(spark, sf_dir):
+    from ts_pymfe_spark.operators.drift import ks_drift
+
+    ev = read(spark, sf_dir, "events")
+    return ks_drift(ev, grp=(F.col("user_id") % 2))
+
+
+# Population Stability Index per event_type (drift.psi_drift):
+# 10 equal-width cells anchored on cohort-0 min/max, eps = 1e-6 clamp.
+@register(
+    "psi_drift",
+    f"""
+    WITH v AS ({_DRIFT_V}),
+    s AS (
+      SELECT event_type, v, g,
+             min(CASE WHEN g = 0 THEN v END)
+               OVER (PARTITION BY event_type) AS mn,
+             max(CASE WHEN g = 0 THEN v END)
+               OVER (PARTITION BY event_type) AS mx
+      FROM v),
+    b AS (
+      SELECT event_type, g,
+             CASE WHEN mx > mn THEN
+               least(9, greatest(0,
+                 CAST(floor((v - mn) / ((mx - mn) / 10.0)) AS INT)))
+             END AS cell
+      FROM s),
+    pc AS (
+      SELECT event_type, cell,
+             sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS k0,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS k1
+      FROM b GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, cell, k0, k1,
+             sum(k0) OVER (PARTITION BY event_type) AS n0,
+             sum(k1) OVER (PARTITION BY event_type) AS n1
+      FROM pc),
+    a AS (
+      SELECT event_type, max(n0) AS n0, max(n1) AS n1,
+             max(CASE WHEN cell IS NULL THEN 1 ELSE 0 END) AS degen,
+             sum(CASE WHEN cell IS NOT NULL AND (k0 > 0 OR k1 > 0)
+                      THEN (greatest(CAST(k1 AS DOUBLE) / n1, 1e-6)
+                            - greatest(CAST(k0 AS DOUBLE) / n0, 1e-6))
+                           * ln(greatest(CAST(k1 AS DOUBLE) / n1, 1e-6)
+                                / greatest(CAST(k0 AS DOUBLE) / n0, 1e-6))
+                      ELSE 0.0 END) AS psi
+      FROM t GROUP BY 1)
+    SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(CASE WHEN n0 > 0 AND n1 > 0 AND degen = 0 THEN psi END, 6)
+             + 0.0 AS psi
+    FROM a
+    """,
+)
+def q_psi_drift(spark, sf_dir):
+    from ts_pymfe_spark.operators.drift import psi_drift
+
+    ev = read(spark, sf_dir, "events")
+    return psi_drift(ev, grp=(F.col("user_id") % 2), bins=10)
+
+
+# per-day column health profile with day-over-day mean deltas
+# (drift.daily_drift) on the value column.
+@register(
+    "daily_drift",
+    """
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             'value' AS col_name, CAST(value AS DOUBLE) AS v
+      FROM events),
+    a AS (
+      SELECT day, col_name, count(*) AS n,
+             sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+             round(avg(v), 6) AS mean_v, min(v) AS min_v, max(v) AS max_v
+      FROM s GROUP BY 1, 2),
+    l AS (
+      SELECT a.*, lag(mean_v) OVER (PARTITION BY col_name ORDER BY day)
+               AS prev_mean
+      FROM a)
+    SELECT CAST(day AS VARCHAR) AS day, col_name,
+           CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+           round(CAST(n_null AS DOUBLE) / n, 6) + 0.0 AS null_frac,
+           mean_v + 0.0 AS mean_v, min_v, max_v,
+           round(mean_v - prev_mean, 6) + 0.0 AS dod_mean_delta
+    FROM l
+    """,
+)
+def q_daily_drift(spark, sf_dir):
+    from ts_pymfe_spark.operators.drift import daily_drift
+
+    return daily_drift(read(spark, sf_dir, "events"), cols=("value",))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (operators/sketches.py cms_*, round 6)
+# ---------------------------------------------------------------------------
+
+
+def _cms_topk_oracle(d: int = 4, w: int = 2048, k: int = 20) -> str:
+    from ts_pymfe_spark.operators.sketches import CMS_P, cms_coef
+
+    hx = _HEX2INT.format(h="substr(md5(CAST(user_id AS VARCHAR)), 1, 10)")
+    pair = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row_i, "
+        f"(({cms_coef('a', i)} * x + {cms_coef('b', i)}) % {CMS_P}) % {w} "
+        f"AS bucket FROM h"
+        for i in range(d))
+    return f"""
+    WITH h AS (
+      SELECT user_id, {hx} AS x FROM events WHERE user_id IS NOT NULL),
+    pairs AS ({pair}),
+    sk AS (SELECT row_i, bucket, count(*) AS cnt
+           FROM pairs GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT user_id, row_i, bucket FROM pairs),
+    est AS (
+      SELECT cand.user_id, min(coalesce(sk.cnt, 0)) AS est_count
+      FROM cand LEFT JOIN sk USING (row_i, bucket) GROUP BY 1)
+    SELECT user_id, CAST(est_count AS BIGINT) AS est_count
+    FROM est ORDER BY est_count DESC, user_id ASC LIMIT {k}
+    """
+
+
+# top-20 users by count-min ESTIMATE (d=4 x w=2048 mergeable counter
+# table; estimates >= truth, identical on both engines because every
+# hash is md5 + linear mod-2^61-1 arithmetic).
+@register("cms_topk_users", _cms_topk_oracle())
+def q_cms_topk_users(spark, sf_dir):
+    from ts_pymfe_spark.operators.sketches import cms_topk
+
+    return cms_topk(read(spark, sf_dir, "events"), "user_id", k=20)
+
+
+# per-source top-10 terms by summed tf-idf (textpipe.tfidf_topk):
+# smooth idf ln((1+N)/(1+df))+1, rank on the 6-dp-rounded score so the
+# window ordering is engine-identical.
+@register(
+    "tfidf_topk",
+    f"""
+    WITH t AS ({_DOC_TOKENS}),
+    toks AS (
+      SELECT source AS src, doc_id, unnest(tokens) AS term
+      FROM documents JOIN t USING (doc_id)),
+    per_doc AS (
+      SELECT term, doc_id, src, count(*) AS tf
+      FROM toks GROUP BY 1, 2, 3),
+    wdf AS (
+      SELECT per_doc.*, count(*) OVER (PARTITION BY term) AS dfreq
+      FROM per_doc),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    per_strat AS (
+      SELECT src, term,
+             round(sum(tf * (ln((1.0 + n_docs) / (1.0 + dfreq)) + 1.0)),
+                   6) AS score,
+             count(*) AS n_docs_stratum
+      FROM wdf CROSS JOIN n GROUP BY 1, 2),
+    ranked AS (
+      SELECT src, term, n_docs_stratum, score,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM per_strat)
+    SELECT src AS source, term, CAST(n_docs_stratum AS BIGINT)
+             AS n_docs_stratum, score + 0.0 AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_tfidf_topk(spark, sf_dir):
+    return TP.tfidf_topk(read(spark, sf_dir, "documents"), k=10)
+
+
+# ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
 
@@ -3900,6 +4119,11 @@ _DRIVER_PRIORITY = [
     # round-6 additions — never driver-checked, slots 43-50
     "interval_union", "seasonal_anomaly", "paa_sax", "session_stats",
     "cusum_changepoint", "rolling_slope", "burstiness", "mad_anomaly",
+    # late round-6 additions, slots 51-56: deliberately OUTSIDE this
+    # round's ~50-query driver window (displacing any of the above
+    # would leave it unchecked); rotate these to the front in round 7.
+    "ks_drift", "psi_drift", "daily_drift", "cms_topk_users",
+    "tfidf_topk",
     # green in the r5 driver window (50) — keep local strict coverage,
     # no new hard-signal row needed
     "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",

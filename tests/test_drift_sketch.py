@@ -1,0 +1,196 @@
+"""Hand-case oracles for the round-6 drift family (operators/drift.py)
+and the count-min sketch (operators/sketches.py cms_*), plus the
+mergeability / overestimate invariants the sketches must guarantee."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_pymfe_spark.operators.drift import (KS_C_5PCT, daily_drift,
+                                            ks_drift, psi_drift)
+from ts_pymfe_spark.operators.sketches import (cms_estimate, cms_merge,
+                                               cms_sketch, cms_topk)
+
+
+def _pop(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_type string, value double, user_id long")
+
+
+def _grp():
+    return F.col("user_id") % 2  # pop 0 = even user_id, pop 1 = odd
+
+
+class TestKsDrift:
+    def test_identical_populations_d_zero(self, spark):
+        rows = [("a", float(v), g) for v in (1, 2, 3, 4) for g in (0, 1)]
+        out = ks_drift(_pop(spark, rows), _grp()).collect()[0]
+        assert out["ks_d"] == 0.0
+        assert out["n0"] == out["n1"] == 4
+        assert out["drifted"] is False
+
+    def test_disjoint_populations_d_one(self, spark):
+        rows = ([("b", float(v), 0) for v in (1, 2)]
+                + [("b", float(v), 1) for v in (10, 20)])
+        out = ks_drift(_pop(spark, rows), _grp()).collect()[0]
+        assert out["ks_d"] == 1.0
+        # crit = 1.358 * sqrt(4 / 4) = 1.358: D=1 < crit at n=2+2
+        assert out["ks_crit"] == round(KS_C_5PCT, 6)
+        assert out["drifted"] is False
+
+    def test_ties_see_full_tie_group(self, spark):
+        # F0 steps at 1 -> 2/3, 2 -> 1;  F1: 1 -> 1/3, 3 -> 1.
+        # D at x=2: |1 - 1/3| = 2/3  (a ROW frame would miscount ties)
+        rows = ([("c", float(v), 0) for v in (1, 1, 2)]
+                + [("c", float(v), 1) for v in (1, 3, 3)])
+        out = ks_drift(_pop(spark, rows), _grp()).collect()[0]
+        assert out["ks_d"] == round(2 / 3, 6)
+
+    def test_empty_side_yields_null(self, spark):
+        rows = [("d", float(v), 0) for v in (1, 2, 3)]
+        out = ks_drift(_pop(spark, rows), _grp()).collect()[0]
+        assert out["n1"] == 0
+        assert out["ks_d"] is None and out["drifted"] is None
+
+    def test_large_shift_flags(self, spark):
+        rows = ([("e", float(v), 0) for v in range(100)]
+                + [("e", float(v + 80), 1) for v in range(100)])
+        out = ks_drift(_pop(spark, rows), _grp()).collect()[0]
+        assert out["ks_d"] == 0.8
+        assert out["drifted"] is True
+
+
+class TestPsiDrift:
+    def test_identical_populations_psi_zero(self, spark):
+        rows = [("a", float(v), g) for v in range(20) for g in (0, 1)]
+        out = psi_drift(_pop(spark, rows), _grp()).collect()[0]
+        assert out["psi"] == 0.0
+
+    def test_degenerate_baseline_null(self, spark):
+        rows = ([("b", 5.0, 0) for _ in range(3)]
+                + [("b", float(v), 1) for v in (1, 9)])
+        out = psi_drift(_pop(spark, rows), _grp()).collect()[0]
+        assert out["psi"] is None
+
+    def test_hand_computed_shift(self, spark):
+        # baseline 0..9 (one per unit cell, width (9-0)/2 = 4.5 at
+        # bins=2): cells 0..1; current all mass in top cell.
+        base = [("c", float(v), 0) for v in range(10)]
+        cur = [("c", 9.0, 1) for _ in range(10)]
+        out = psi_drift(_pop(spark, base + cur), _grp(), bins=2).collect()[0]
+        # cells: v<4.5 -> 0 (5 rows), else 1 (5 rows); current: all 1.
+        p0, p1 = [0.5, 0.5], [1e-6, 1.0]
+        exp = sum((b - a) * math.log(b / a) for a, b in zip(p0, p1))
+        assert out["psi"] == round(exp, 6)
+
+    def test_out_of_range_mass_lands_in_edge_cells(self, spark):
+        base = [("d", float(v), 0) for v in range(11)]       # 0..10
+        cur = ([("d", -100.0, 1)] * 3 + [("d", 100.0, 1)] * 7)
+        out = psi_drift(_pop(spark, base + cur), _grp(), bins=10).collect()[0]
+        assert out["psi"] is not None and out["psi"] > 0.25  # major shift
+
+
+class TestDailyDrift:
+    def test_profile_and_dod_delta(self, spark):
+        rows = [
+            ("2025-01-01 10:00:00", 1.0), ("2025-01-01 11:00:00", 3.0),
+            ("2025-01-02 10:00:00", 5.0), ("2025-01-02 11:00:00", None),
+        ]
+        df = spark.createDataFrame(rows, "ts string, value double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        out = {r["day"]: r for r in daily_drift(df).collect()}
+        d1, d2 = out["2025-01-01"], out["2025-01-02"]
+        assert (d1["n"], d1["n_null"], d1["null_frac"]) == (2, 0, 0.0)
+        assert d1["mean_v"] == 2.0 and d1["dod_mean_delta"] is None
+        assert (d2["n"], d2["n_null"], d2["null_frac"]) == (2, 1, 0.5)
+        assert d2["mean_v"] == 5.0  # NULL skipped by avg
+        assert d2["dod_mean_delta"] == 3.0
+        assert (d2["min_v"], d2["max_v"]) == (5.0, 5.0)
+
+    def test_multi_column_stack(self, spark):
+        df = spark.createDataFrame(
+            [("2025-01-01 00:00:00", 1.0, 10.0)],
+            "ts string, value double, other double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        out = daily_drift(df, cols=("value", "other")).collect()
+        assert {r["col_name"] for r in out} == {"value", "other"}
+
+
+def _vals(spark, counts: dict):
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "val string")
+
+
+class TestCms:
+    COUNTS = {"a": 50, "b": 30, "c": 10, "d": 5, "e": 1}
+
+    def test_estimate_upper_bounds_truth_and_is_exact_when_sparse(
+            self, spark):
+        df = _vals(spark, self.COUNTS)
+        got = {r["val"]: r["est_count"]
+               for r in cms_topk(df, "val", k=10).collect()}
+        for k, n in self.COUNTS.items():
+            assert got[k] >= n          # CMS never undercounts
+            assert got[k] == n          # 5 keys in 4x2048: no collisions
+
+    def test_topk_order_and_limit(self, spark):
+        df = _vals(spark, self.COUNTS)
+        top = cms_topk(df, "val", k=3).collect()
+        assert [(r["val"], r["est_count"]) for r in top] == [
+            ("a", 50), ("b", 30), ("c", 10)]
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        a = _vals(spark, {"a": 5, "b": 7})
+        b = _vals(spark, {"a": 3, "c": 2})
+        merged = cms_merge(cms_sketch(a, "val"), cms_sketch(b, "val"))
+        whole = cms_sketch(a.unionByName(b), "val")
+        assert (sorted(map(tuple, merged.collect()))
+                == sorted(map(tuple, whole.collect())))
+        est = {r["val"]: r["est_count"] for r in cms_estimate(
+            merged, a.unionByName(b).select("val").distinct(),
+            "val").collect()}
+        assert est == {"a": 8, "b": 7, "c": 2}
+
+    def test_null_values_skipped(self, spark):
+        df = spark.createDataFrame([("a",), (None,), ("a",)], "val string")
+        sk = cms_sketch(df, "val")
+        assert sk.agg(F.sum("cnt")).collect()[0][0] == 2 * 4  # d rows each
+
+    def test_sketch_size_bounded(self, spark):
+        df = _vals(spark, {f"k{i}": 1 for i in range(500)})
+        sk = cms_sketch(df, "val", d=4, w=64).collect()
+        assert len(sk) <= 4 * 64
+
+
+class TestTfidfTopk:
+    def test_hand_scores(self, spark):
+        from ts_pymfe_spark.operators.textpipe import tfidf_topk
+        docs = spark.createDataFrame(
+            [(1, "apple apple banana", "s1"),
+             (2, "apple cherry", "s1"),
+             (3, "banana banana banana", "s2")],
+            "doc_id long, text string, source string")
+        out = {(r["source"], r["term"]): r
+               for r in tfidf_topk(docs, k=10).collect()}
+        n = 3
+        idf = lambda df_t: math.log((1 + n) / (1 + df_t)) + 1
+        # s1: apple tf 2+1=3 docs(df=2); banana tf 1 (df=2); cherry tf 1 (df=1)
+        assert out[("s1", "apple")]["score"] == round(3 * idf(2), 6)
+        assert out[("s1", "banana")]["score"] == round(1 * idf(2), 6)
+        assert out[("s1", "cherry")]["score"] == round(1 * idf(1), 6)
+        assert out[("s2", "banana")]["score"] == round(3 * idf(2), 6)
+        assert out[("s1", "apple")]["n_docs_stratum"] == 2
+        assert out[("s1", "apple")]["rank"] == 1
+
+    def test_k_limit_and_deterministic_ties(self, spark):
+        from ts_pymfe_spark.operators.textpipe import tfidf_topk
+        docs = spark.createDataFrame(
+            [(i, "t%d common" % i, "s") for i in range(5)],
+            "doc_id long, text string, source string")
+        out = tfidf_topk(docs, k=3).collect()
+        assert len(out) == 3
+        # unique terms t0..t4 tie on score; term asc breaks the tie
+        assert [r["term"] for r in out[1:]] == ["t0", "t1"]

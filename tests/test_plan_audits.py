@@ -313,3 +313,66 @@ def test_seasonal_anomaly_raw_rows_never_shuffled(spark):
     assert "BroadcastExchange" in p, p
     assert "SortMergeJoin" not in p, p
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+# ---------------------------------------------------------------------------
+# Late round-6 additions: drift family + count-min sketch + tf-idf.
+# ---------------------------------------------------------------------------
+
+def test_ks_drift_single_exchange(spark):
+    from ts_pymfe_spark.operators.drift import ks_drift
+
+    p = plan(ks_drift(_events(spark), grp=F.col("user_id") % 2))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_psi_drift_single_exchange(spark):
+    from ts_pymfe_spark.operators.drift import psi_drift
+
+    p = plan(psi_drift(_events(spark), grp=F.col("user_id") % 2))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_daily_drift_second_exchange_is_post_aggregate_only(spark):
+    """One exchange of raw rows into (day, column) aggregates; the
+    day-over-day lag window's exchange runs over O(days x columns)
+    aggregate rows only — both scans must prune to (ts, value)."""
+    from ts_pymfe_spark.operators.drift import daily_drift
+
+    p = plan(daily_drift(_events(spark)))
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "ReadSchema: struct<ts:timestamp_ntz,value:double>" in p, p
+
+
+def test_cms_sketch_output_is_constant_bounded(spark):
+    """The sketch aggregation partially aggregates map-side: the
+    exchange carries (row, bucket) cells, never raw values."""
+    from ts_pymfe_spark.operators.sketches import cms_sketch
+
+    p = plan(cms_sketch(_events(spark), "user_id"))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "partial_count" in p, p  # map-side combine before the shuffle
+
+
+def test_cms_topk_broadcasts_the_sketch_not_the_candidates(spark):
+    from ts_pymfe_spark.operators.sketches import cms_topk
+
+    p = plan(cms_topk(_events(spark), "user_id", k=20))
+    assert "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
+    # candidate distinct + sketch agg + estimate agg; no extra shuffles
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_tfidf_topk_token_stream_shuffles_once(spark):
+    """The raw exploded token stream exchanges once (repartition by
+    term feeds both the per-doc tf agg and the document-frequency
+    window via the subset rule); later exchanges carry reduced
+    per-(doc, term) / per-(stratum, term) rows; N arrives broadcast."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(TP.tfidf_topk(docs, k=10))
+    assert "BroadcastExchange" in p, p
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    # the token explode must appear exactly once: a self-join replan
+    # would generate two Generate nodes over the corpus scan
+    assert p.count("Generate explode") == 1, p

@@ -1,0 +1,221 @@
+"""Distribution-drift monitoring operators (round 6).
+
+Engine additions (no reference counterpart — the reference computes
+whole-series meta-features over ONE population; production pipelines
+also need to compare TWO populations of the same metric): the three
+standard ML-monitoring drift screens, each as pure SQL so the DuckDB
+oracle reproduces every value bit-for-bit.
+
+* ``ks_drift``        — two-sample Kolmogorov-Smirnov D per key
+                        (Smirnov 1939; 5% two-sample gate c = 1.358,
+                        the same Brownian-bridge constant as
+                        ``cusum_changepoint``).
+* ``psi_drift``       — Population Stability Index over equal-width
+                        bins anchored on the BASELINE population's
+                        min/max (the industry scorecard-monitoring
+                        metric; > 0.25 = major shift convention).
+* ``daily_drift``     — per-day per-column health profile (null rate,
+                        mean, min/max) with day-over-day mean deltas,
+                        the long-format companion to
+                        ``profile.profile_table``.
+
+Scale shape: ``ks_drift``/``psi_drift`` are ONE exchange — every
+baseline statistic comes back as an UNBOUNDED per-key window over the
+already-partitioned rows, never an aggregate-plus-join-back (a
+self-join makes Spark re-derive the subplan — a second scan and a
+second shuffle of the raw rows — and puts per-key baseline tables on
+the broadcast side, which cannot broadcast at corpus-scale key
+domains; the same lesson as counters.mad_anomaly).  The group split is
+an arbitrary caller expression, so "last 7 days vs before" or "cohort
+A vs B" are both just a different ``grp`` column.
+
+Numerics: counts are exact integers; every ratio is one IEEE-double
+division of exact integers, identical on any engine; outputs round to
+6 dp AFTER the final division (memory: float-compare rules).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 5% two-sample KS critical coefficient c(alpha): reject if
+#: D > c * sqrt((n0+n1)/(n0*n1)).  Brownian-bridge sup |B(t)|, the
+#: same constant family as the CUSUM gate (trend.cusum_changepoint).
+KS_C_5PCT = 1.358
+
+
+def ks_drift(df: DataFrame, grp: Column, key: str = "event_type",
+             value_col: str = "value") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift screen per key: split each
+    key's values into population 0 / population 1 by the caller's
+    ``grp`` expression (cast to int 0/1), and compute
+    D = max_x |F0(x) - F1(x)| over the pooled empirical CDFs, plus the
+    5% decision against the large-sample critical value.
+
+    -> (key, n0, n1, ks_d, ks_crit, drifted); keys with an empty side
+    emit NULL ks_d/ks_crit/drifted.
+
+    The pooled-ECDF maximum needs the cumulative counts AT EVERY
+    distinct value including all its ties, so the cumulative windows
+    use a RANGE frame (ORDER BY value RANGE UNBOUNDED PRECEDING →
+    CURRENT ROW): every row of a tie group sees the full tie group,
+    matching the right-continuous ECDF definition.
+
+    Scale shape: ONE exchange — the RANGE cumulative windows, the
+    per-key total windows and the final max-aggregation all partition
+    by ``key``.  Per-key work is the sort the window already pays;
+    state is two running integers.
+    """
+    v = F.col(value_col).cast("double")
+    rows = (df.where(v.isNotNull())
+            .select(F.col(key), v.alias("_v"),
+                    grp.cast("int").alias("_g")))
+    wc = (Window.partitionBy(key).orderBy("_v")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    wk = Window.partitionBy(key)
+    i0 = F.when(F.col("_g") == 0, 1).otherwise(0)
+    i1 = F.when(F.col("_g") == 1, 1).otherwise(0)
+    staged = (rows
+              .withColumn("_c0", F.sum(i0).over(wc))
+              .withColumn("_c1", F.sum(i1).over(wc))
+              .withColumn("_n0", F.sum(i0).over(wk))
+              .withColumn("_n1", F.sum(i1).over(wk)))
+    # try_divide: ANSI mode raises on ANY division by zero (doubles
+    # included), so an empty side must yield NULL, which max() skips
+    # and the ok guard turns into NULL outputs — the oracle's CASE
+    # WHEN n0 > 0 AND n1 > 0 guard, same contract.
+    gap = F.abs(F.try_divide(F.col("_c0"), F.col("_n0"))
+                - F.try_divide(F.col("_c1"), F.col("_n1")))
+    agg = staged.groupBy(key).agg(
+        F.max("_n0").alias("_n0"), F.max("_n1").alias("_n1"),
+        F.max(gap).alias("_d"))
+    ok = (F.col("_n0") > 0) & (F.col("_n1") > 0)
+    n0d, n1d = F.col("_n0").cast("double"), F.col("_n1").cast("double")
+    crit = F.lit(KS_C_5PCT) * F.sqrt((n0d + n1d) / (n0d * n1d))
+    return agg.select(
+        F.col(key),
+        F.col("_n0").cast("long").alias("n0"),
+        F.col("_n1").cast("long").alias("n1"),
+        (F.round(F.when(ok, F.col("_d")), 6) + F.lit(0.0)).alias("ks_d"),
+        (F.round(F.when(ok, crit), 6) + F.lit(0.0)).alias("ks_crit"),
+        F.when(ok, F.col("_d") > crit).alias("drifted"))
+
+
+def psi_drift(df: DataFrame, grp: Column, key: str = "event_type",
+              value_col: str = "value", bins: int = 10,
+              eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index per key: bin both populations into
+    ``bins`` equal-width cells anchored on the BASELINE population's
+    (grp = 0) min/max, then PSI = Σ_cells (p1 - p0) · ln(p1 / p0) with
+    the standard ``eps`` clamp for empty cells (a cell empty in both
+    populations contributes exactly 0 and is skipped).
+
+    -> (key, n0, n1, psi); keys with an empty side or a degenerate
+    baseline range (min0 = max0) emit NULL psi.
+
+    Binning convention: cell = floor((v - min0) / width), clamped to
+    [0, bins-1]; values outside the baseline range land in the edge
+    cells (out-of-range mass is exactly what PSI must see).  The
+    floor of one IEEE division of identical doubles is identical on
+    any engine, so the oracle reproduces every cell assignment.
+
+    Scale shape: ONE exchange — baseline min/max come back as
+    unbounded per-key windows; the (key, cell) and final per-key
+    aggregations both reuse the key partitioning (subset rule).
+    """
+    v = F.col(value_col).cast("double")
+    rows = (df.where(v.isNotNull())
+            .select(F.col(key), v.alias("_v"),
+                    grp.cast("int").alias("_g")))
+    wk = Window.partitionBy(key)
+    base = F.when(F.col("_g") == 0, F.col("_v"))
+    staged = (rows
+              .withColumn("_mn", F.min(base).over(wk))
+              .withColumn("_mx", F.max(base).over(wk)))
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    cell = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0),
+                   F.floor((F.col("_v") - F.col("_mn")) / width)
+                   .cast("int")))
+    per_cell = (staged
+                .withColumn("_cell", F.when(F.col("_mx") > F.col("_mn"),
+                                            cell))
+                .groupBy(key, "_cell")
+                .agg(F.sum(F.when(F.col("_g") == 0, 1).otherwise(0))
+                     .alias("_k0"),
+                     F.sum(F.when(F.col("_g") == 1, 1).otherwise(0))
+                     .alias("_k1")))
+    wk2 = Window.partitionBy(key)
+    tot = (per_cell
+           .withColumn("_n0", F.sum("_k0").over(wk2))
+           .withColumn("_n1", F.sum("_k1").over(wk2)))
+    # try_divide for the same ANSI empty-side reason as ks_drift;
+    # greatest() skips the NULL, and the ok guard nulls the key anyway
+    p0 = F.greatest(F.try_divide(F.col("_k0"), F.col("_n0")),
+                    F.lit(float(eps)))
+    p1 = F.greatest(F.try_divide(F.col("_k1"), F.col("_n1")),
+                    F.lit(float(eps)))
+    term = F.when(F.col("_cell").isNotNull()
+                  & ((F.col("_k0") > 0) | (F.col("_k1") > 0)),
+                  (p1 - p0) * F.log(p1 / p0)).otherwise(F.lit(0.0))
+    agg = tot.groupBy(key).agg(
+        F.max("_n0").alias("_n0"), F.max("_n1").alias("_n1"),
+        F.max(F.col("_cell").isNull().cast("int")).alias("_degen"),
+        F.sum(term).alias("_psi"))
+    ok = ((F.col("_n0") > 0) & (F.col("_n1") > 0)
+          & (F.col("_degen") == 0))
+    return agg.select(
+        F.col(key),
+        F.col("_n0").cast("long").alias("n0"),
+        F.col("_n1").cast("long").alias("n1"),
+        (F.round(F.when(ok, F.col("_psi")), 6) + F.lit(0.0)).alias("psi"))
+
+
+def daily_drift(df: DataFrame, ts_col: str = "ts",
+                cols: Sequence[str] = ("value",)) -> DataFrame:
+    """Per-day per-column health profile with day-over-day deltas:
+    (day, col_name, n, n_null, null_frac, mean_v, min_v, max_v,
+    dod_mean_delta) — the monitoring table a pipeline alerts on when a
+    producer silently starts emitting NULLs or shifts a metric.
+
+    ``dod_mean_delta`` = mean_v - lag(mean_v) over days (NULL on each
+    column's first day) — computed AFTER the aggregation, so the lag
+    window runs over O(days x columns) rows, not raw events.
+
+    Scale shape: the unpivot is a narrow Expand-free stack; one
+    exchange aggregates raw rows by (day, column); the day-over-day
+    window is a second exchange over the tiny aggregate only.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("_day")
+    stacked = df.select(
+        day,
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("_col"),
+                     F.col(c).cast("double").alias("_v"))
+            for c in cols])).alias("_s"),
+    ).select("_day", "_s._col", "_s._v")
+    agg = stacked.groupBy("_day", "_col").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_v").isNull().cast("long")).alias("n_null"),
+        F.round(F.avg("_v"), 6).alias("_mean"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"))
+    wd = Window.partitionBy("_col").orderBy("_day")
+    return (agg
+            .withColumn("_prev", F.lag("_mean").over(wd))
+            .select(
+                F.col("_day").cast("string").alias("day"),
+                F.col("_col").alias("col_name"),
+                "n",
+                "n_null",
+                (F.round(F.col("n_null") / F.col("n"), 6)
+                 + F.lit(0.0)).alias("null_frac"),
+                (F.col("_mean") + F.lit(0.0)).alias("mean_v"),
+                "min_v",
+                "max_v",
+                (F.round(F.col("_mean") - F.col("_prev"), 6)
+                 + F.lit(0.0)).alias("dod_mean_delta")))

@@ -209,3 +209,110 @@ def hll_overlap(sketch: DataFrame, day_col: str = "day",
                     (F.round(F.col("est_prev") + F.col("est_cur")
                              - F.col("est_union"), 6) + F.lit(0.0))
                     .alias("est_overlap")))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# counters, the companion to HLL's mergeable cardinality registers.
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime 2^61-1 — the same modulus discipline as the minhash
+#: permutations (textpipe.MINHASH_P): a_i < 2^22 times a 40-bit hash
+#: stays below 2^62, so no BIGINT overflow on any engine and the
+#: DuckDB oracle reproduces every bucket bit-exactly.
+CMS_P = (1 << 61) - 1
+
+
+def cms_coef(which: str, i: int) -> int:
+    """md5-derived row-hash coefficient in [1, 2^22-1]:
+    hex2int(md5("cms{which}:{i}")[:8]) % (2^22-1) + 1 — model
+    parameters, same philosophy as the minhash permutations / LSH
+    hyperplanes."""
+    import hashlib
+
+    h = int(hashlib.md5(f"cms{which}:{i}".encode()).hexdigest()[:8], 16)
+    return (h % ((1 << 22) - 1)) + 1
+
+
+def _cms_bucket(x: F.Column, i: int, w: int) -> F.Column:
+    return ((F.lit(cms_coef("a", i)) * x + F.lit(cms_coef("b", i)))
+            % F.lit(CMS_P)) % F.lit(w)
+
+
+def cms_sketch(df: DataFrame, value_col: str, d: int = 4,
+               w: int = 2048) -> DataFrame:
+    """Count-min sketch of a column: a (row, bucket, cnt) counter
+    table, ``d`` pairwise-independent-style rows x ``w`` buckets.
+    Each value hashes once via md5 (40-bit prefix) then through ``d``
+    linear row hashes mod 2^61-1 mod ``w``.
+
+    Mergeable: counters SUM — union two sketch tables and re-aggregate
+    (``cms_merge``), the same merge-on-read shape as the HLL register
+    and tier moment stores.
+
+    Scale shape: the explode is narrow (d rows per input, d is 4);
+    the single exchange carries at most d*w counter rows per map task
+    after partial aggregation — O(1) in the input size, by
+    construction.  NULL values are skipped (no hash to take).
+    """
+    x = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 10),
+               16, 10).cast("long")
+    pairs = (df.where(F.col(value_col).isNotNull())
+             .select(F.posexplode(
+                 F.array(*[_cms_bucket(x, i, w) for i in range(d)]))
+                 .alias("row", "bucket")))
+    return pairs.groupBy("row", "bucket").agg(
+        F.count("*").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum-merge counter tables built with the same (d, w)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame,
+                 value_col: str, d: int = 4, w: int = 2048) -> DataFrame:
+    """Point-query a sketch for each candidate value: est = min over
+    the d rows of the candidate's bucket counter (missing bucket =
+    0).  CMS guarantees est >= true count, with overshoot bounded by
+    (e/w) * total across all rows per row-hash.
+
+    Scale shape: the sketch is at most d*w rows — a true constant —
+    so it BROADCASTS to the candidates; the only exchange is the
+    per-candidate min-aggregation (d rows each).
+
+    -> (value_col, est_count)
+    """
+    x = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 10),
+               16, 10).cast("long")
+    cand = candidates.select(
+        value_col,
+        F.posexplode(F.array(*[_cms_bucket(x, i, w) for i in range(d)]))
+        .alias("row", "bucket"))
+    joined = cand.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (joined.groupBy(value_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_count")))
+
+
+def cms_topk(df: DataFrame, value_col: str, k: int = 20, d: int = 4,
+             w: int = 2048) -> DataFrame:
+    """Heavy hitters by count-min estimate: build the sketch, query it
+    for every distinct value, keep the top ``k`` (est desc, value asc
+    deterministic ties).  At 100 TB the sketch half is the stored
+    artifact (O(d*w) no matter the scan); the candidate half is
+    whatever cheaper/later pass supplies plausible keys — here the
+    distinct values themselves, an O(distinct) exchange the EXACT
+    counter would also pay, but the sketch never rescans history when
+    candidates change.
+
+    -> (value_col, est_count), k rows.
+    """
+    sk = cms_sketch(df, value_col, d, w)
+    cand = df.where(F.col(value_col).isNotNull()).select(value_col).distinct()
+    est = cms_estimate(sk, cand, value_col, d, w)
+    return (est.orderBy(F.desc("est_count"), F.asc(value_col))
+            .limit(k))

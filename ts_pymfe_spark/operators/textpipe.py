@@ -1531,3 +1531,51 @@ def weighted_sample(df: DataFrame, k: int, strata_col: str = "lang",
     return (pruned.withColumn("rank", F.row_number().over(wg))
             .filter(F.col("rank") <= k)
             .withColumn("es_key", F.round("es_key", 6) + F.lit(0.0)))
+
+
+def tfidf_topk(df: DataFrame, k: int = 10, strata_col: str = "source",
+               id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Per-stratum top-k terms by summed tf-idf (round 6): the
+    characteristic-vocabulary report behind corpus-mixture audits
+    ("what does each source actually talk about").  Whitespace tokens
+    (with_tokens), raw term frequency, smooth idf
+    ln((1 + N) / (1 + df_t)) + 1 (the sklearn smooth_idf convention,
+    reproducible as pure SQL), score(stratum, t) = sum over the
+    stratum's docs of tf(d, t) * idf(t).
+
+    -> (strata_col, term, n_docs_stratum, score, rank), k rows per
+    stratum, ties deterministic (score 6-dp-rounded desc, term asc —
+    the rank is computed ON the rounded score so the oracle's window
+    ordering is identical).
+
+    Scale shape: the exploded (token, doc) stream exchanges ONCE
+    partitioned by token (the groupBy(token, doc) pre-aggregation and
+    the document-frequency window both cluster by token — subset
+    rule); the (stratum, term) aggregation and the per-stratum top-k
+    window then run over per-doc-term REDUCED rows (two more
+    exchanges, each strictly smaller than the raw token stream).  The
+    corpus size N arrives as a broadcast scalar (one count on a
+    doc-id-only scan), never a window over an unpartitioned frame.
+    """
+    t = with_tokens(df, text)
+    toks = t.select(
+        F.col(strata_col).alias("_st"), F.col(id_col).alias("_doc"),
+        F.explode("tokens").alias("term"))
+    per_doc = (toks.repartition("term")
+               .groupBy("term", "_doc", "_st")
+               .agg(F.count("*").alias("_tf")))
+    wdf = Window.partitionBy("term")
+    with_df = per_doc.withColumn("_dfreq", F.count("*").over(wdf))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    scored = with_df.crossJoin(F.broadcast(n_docs))
+    idf = (F.log((F.lit(1.0) + F.col("_n")) / (F.lit(1.0) + F.col("_dfreq")))
+           + F.lit(1.0))
+    per_strat = (scored.groupBy("_st", "term")
+                 .agg(F.round(F.sum(F.col("_tf") * idf), 6).alias("score"),
+                      F.count("*").alias("n_docs_stratum")))
+    wr = Window.partitionBy("_st").orderBy(F.desc("score"), F.asc("term"))
+    return (per_strat.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_st").alias(strata_col), "term",
+                    "n_docs_stratum",
+                    (F.col("score") + F.lit(0.0)).alias("score"), "rank"))
