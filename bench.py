@@ -137,6 +137,9 @@ def run_headline(spark) -> dict[str, float]:
         # round-6 additions: gaps-and-islands, symbolic downsample,
         # CUSUM changepoint, robust MAD screen
         "interval_union", "paa_sax", "cusum_changepoint", "mad_anomaly",
+        # late round-6 additions: drift screens, count-min heavy
+        # hitters, tf-idf characteristic vocabulary
+        "ks_drift", "psi_drift", "cms_topk_users", "tfidf_topk",
     ]
     qs = E.queries()
     # Untimed warm-up: the first query otherwise absorbs session JIT +
@@ -461,6 +464,17 @@ class ScalingRun:
         if eff is not None:
             a, b = self.levels[0], self.levels[-1]
             out[f"{self.tag}_{self.job}_scaling_efficiency_{a}_to_{b}"] = eff
+            # Paired per-rep ratios (telemetry, not the gate metric):
+            # each rep runs both legs back-to-back in ONE host window,
+            # so the per-pair ratio controls for host drift that the
+            # min-of-legs estimator can cross-contaminate (a fast
+            # early small-N window paired with a late large-N one
+            # reads low even when every same-window pair is >=0.9).
+            pairs = [
+                round(ta / ((b / a) * tb), 3)
+                for ta, tb in zip(self.times[a], self.times[b])
+            ]
+            out[f"{self.tag}_{self.job}_scaling_efficiency_per_pair"] = pairs
         out[f"{self.tag}_{self.job}_host_probe_effective_cores"] = self.probes
         return out
 

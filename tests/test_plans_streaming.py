@@ -1008,3 +1008,37 @@ def test_eviction_param_wiring(spark):
     # both forms must at least build their plans
     counter_rate_stream(src, idle_timeout_seconds=3600)
     counter_rate_stream(src, evict_after_seconds=600)
+
+
+def test_streaming_cms_matches_batch(spark, turns, tmp_path):
+    """Streamed per-microbatch count-min counter partials, sum-merged
+    on read, equal the batch sketch over the same rows — counter-exact
+    (integer sums), so every point estimate matches exactly."""
+    from ts_pymfe_spark.operators.sketches import (cms_estimate,
+                                                   cms_sketch)
+    from ts_pymfe_spark.streaming.rollup_stream import (
+        read_cms_sketch,
+        run_cms_stream_to_store,
+    )
+
+    in_dir = str(tmp_path / "cms_in")
+    store = str(tmp_path / "cms_store")
+    ckpt = str(tmp_path / "cms_ckpt")
+    turns.repartition(16).write.mode("overwrite").parquet(in_dir)
+
+    run_cms_stream_to_store(spark, in_dir, store, ckpt)
+    got = read_cms_sketch(spark, store)
+    whole = spark.read.parquet(in_dir)
+    exp = cms_sketch(whole, "conv_id")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+    cand = whole.select("conv_id").distinct()
+    ge = {r["conv_id"]: r["est_count"]
+          for r in cms_estimate(got, cand, "conv_id").collect()}
+    true = {r["conv_id"]: r["n"]
+            for r in whole.groupBy("conv_id")
+            .agg(F.count("*").alias("n")).collect()}
+    assert all(ge[k] >= n for k, n in true.items())  # never undercounts
+    import os
+    assert len([d for d in os.listdir(store)
+                if d.startswith("batch=")]) >= 2

@@ -100,3 +100,18 @@ e6 = F.col("ts").cast("timestamp").cast("double")
 iv = ev.select("user_id", e6.alias("start"), (e6 + F.col("value")).alias("end"))
 timed("interval_union_10M", interval_union(iv))
 timed("paa_sax_10M", paa_sax(series, n_segments=8, alphabet=4))
+
+# ---------------------------------------------------------------------------
+# Late round 6: drift screens + count-min sketch + tf-idf at scale.
+# ks/psi are per-event_type windows (5 fat keys here — the worst
+# ordered-window shape: ~2M rows per key through one sort); cms is
+# O(d*w) shuffle by construction.
+# ---------------------------------------------------------------------------
+from ts_pymfe_spark.operators.drift import daily_drift, ks_drift, psi_drift
+from ts_pymfe_spark.operators.sketches import cms_topk
+
+grp = F.col("user_id") % 2
+timed("ks_drift_10M", ks_drift(ev, grp))
+timed("psi_drift_10M", psi_drift(ev, grp))
+timed("daily_drift_10M", daily_drift(ev))
+timed("cms_topk_10M", cms_topk(ev, "user_id", k=50))

@@ -459,3 +459,37 @@ def read_hist_sketch(spark: SparkSession, store_dir: str) -> DataFrame:
     from ts_pymfe_spark.operators.histogram import histogram_merge
 
     return histogram_merge(spark.read.parquet(store_dir).drop("batch"))
+
+
+def run_cms_stream_to_store(spark: SparkSession, input_dir: str,
+                            store_dir: str, checkpoint_dir: str,
+                            value_col: str = "conv_id", d: int = 4,
+                            w: int = 2048,
+                            max_files_per_trigger: int = 8) -> None:
+    """availableNow streaming job: per-batch count-min counter
+    partials for ``value_col`` appended under ``store_dir`` — the
+    frequency analogue of the HLL partials above (counters SUM-merge,
+    registers MAX-merge; both stores are O(sketch), never O(rows))."""
+    from ts_pymfe_spark.operators.sketches import cms_sketch
+
+    def sketch_batch(batch_turns: DataFrame, batch_id: int) -> None:
+        sk = cms_sketch(batch_turns, value_col, d=d, w=w)
+        sk.write.mode("overwrite").parquet(
+            f"{store_dir}/batch={batch_id}")
+
+    q = (
+        stream_turns(spark, input_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cms_sketch(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge-on-read of the streamed counter partials (sum per
+    (row, bucket)) — feed to ``cms_estimate``/point queries."""
+    from ts_pymfe_spark.operators.sketches import cms_merge
+
+    return cms_merge(spark.read.parquet(store_dir).drop("batch"))
