@@ -4049,6 +4049,64 @@ def q_cms_topk_users(spark, sf_dir):
     return cms_topk(read(spark, sf_dir, "events"), "user_id", k=20)
 
 
+# rolling EXACT median, half-width 3 (local_stats moving_median):
+# percentile over the ROWS frame == DuckDB quantile_cont, the
+# convention verified by exact_quantiles_user.
+@register(
+    "moving_median",
+    _EDGE_CTE
+    + """
+    , mm AS (
+      SELECT conv_id, turn_idx, rn, cnt,
+             quantile_cont(value, 0.5)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS v
+      FROM w)
+    SELECT conv_id, turn_idx, round(v, 6) AS mm
+    FROM mm WHERE rn > 3 AND rn <= cnt - 3
+    """,
+)
+def q_moving_median(spark, sf_dir):
+    return LS.rolling(_series(spark, sf_dir), "moving_median", 3).select(
+        "conv_id", "turn_idx", r(F.col("stat")).alias("mm")
+    )
+
+
+# per-user OLS fit of value ~ epoch(ts) + Pearson corr (trend.key_ols):
+# two-pass centered co-moments on 6-dp-rounded means.
+@register(
+    "key_ols",
+    """
+    WITH v AS (
+      SELECT user_id, epoch(ts) AS x, CAST(value AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    m AS (
+      SELECT user_id, x, y,
+             round(avg(x) OVER (PARTITION BY user_id), 6) AS mx,
+             round(avg(y) OVER (PARTITION BY user_id), 6) AS my
+      FROM v),
+    a AS (
+      SELECT user_id, count(*) AS n, max(mx) AS mx, max(my) AS my,
+             sum((x - mx) * (y - my)) AS sxy,
+             sum((x - mx) * (x - mx)) AS sxx,
+             sum((y - my) * (y - my)) AS syy
+      FROM m GROUP BY 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n > 1 AND sxx > 0 AND syy > 0
+                      THEN sxy / sqrt(sxx * syy) END, 6) + 0.0 AS corr_xy,
+           round(CASE WHEN n > 1 AND sxx > 0
+                      THEN sxy / sxx END, 6) + 0.0 AS slope,
+           round(CASE WHEN n > 1 AND sxx > 0
+                      THEN my - (sxy / sxx) * mx END, 6) + 0.0 AS intercept
+    FROM a
+    """,
+)
+def q_key_ols(spark, sf_dir):
+    from ts_pymfe_spark.operators.trend import key_ols
+
+    return key_ols(read(spark, sf_dir, "events"))
+
+
 # per-source top-10 terms by summed tf-idf (textpipe.tfidf_topk):
 # smooth idf ln((1+N)/(1+df))+1, rank on the 6-dp-rounded score so the
 # window ordering is engine-identical.
@@ -4123,7 +4181,7 @@ _DRIVER_PRIORITY = [
     # round's ~50-query driver window (displacing any of the above
     # would leave it unchecked); rotate these to the front in round 7.
     "ks_drift", "psi_drift", "daily_drift", "cms_topk_users",
-    "tfidf_topk",
+    "tfidf_topk", "moving_median", "key_ols",
     # green in the r5 driver window (50) — keep local strict coverage,
     # no new hard-signal row needed
     "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",

@@ -194,3 +194,66 @@ class TestTfidfTopk:
         assert len(out) == 3
         # unique terms t0..t4 tie on score; term asc breaks the tie
         assert [r["term"] for r in out[1:]] == ["t0", "t1"]
+
+
+class TestKeyOls:
+    def test_exact_line_recovered(self, spark):
+        from ts_pymfe_spark.operators.trend import key_ols
+        rows = [("k", float(x), 3.0 * x + 7.0) for x in range(10)]
+        df = spark.createDataFrame(rows, "k string, x double, y double")
+        out = key_ols(df, key="k", x_col="x", y_col="y").collect()[0]
+        assert (out["corr_xy"], out["slope"], out["intercept"]) == \
+            (1.0, 3.0, 7.0)
+        assert out["n"] == 10
+
+    def test_anticorrelated(self, spark):
+        from ts_pymfe_spark.operators.trend import key_ols
+        rows = [("k", float(x), -2.0 * x) for x in range(5)]
+        df = spark.createDataFrame(rows, "k string, x double, y double")
+        out = key_ols(df, key="k", x_col="x", y_col="y").collect()[0]
+        assert (out["corr_xy"], out["slope"]) == (-1.0, -2.0)
+
+    def test_degenerate_sides_null(self, spark):
+        from ts_pymfe_spark.operators.trend import key_ols
+        rows = ([("flat_y", float(x), 5.0) for x in range(4)]
+                + [("flat_x", 2.0, float(y)) for y in range(4)]
+                + [("single", 1.0, 1.0)])
+        df = spark.createDataFrame(rows, "k string, x double, y double")
+        out = {r["k"]: r for r in
+               key_ols(df, key="k", x_col="x", y_col="y").collect()}
+        assert out["flat_y"]["corr_xy"] is None      # syy = 0
+        assert out["flat_y"]["slope"] == 0.0         # fit still defined
+        assert out["flat_x"]["slope"] is None        # sxx = 0
+        assert out["single"]["corr_xy"] is None      # n = 1
+
+    def test_timestamp_x_casts_to_epoch(self, spark):
+        from ts_pymfe_spark.operators.trend import key_ols
+        rows = [("k", "2025-01-01 00:00:%02d" % s, float(s))
+                for s in range(10)]
+        df = spark.createDataFrame(rows, "k string, ts string, y double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        out = key_ols(df, key="k", x_col="ts", y_col="y").collect()[0]
+        assert out["slope"] == 1.0 and out["corr_xy"] == 1.0
+
+
+class TestMovingMedian:
+    def test_hand_case_odd_frame(self, spark):
+        from ts_pymfe_spark.operators import local_stats as LS
+        rows = [("c", i, float(v)) for i, v in
+                enumerate([5, 1, 9, 2, 8, 3, 7])]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx long, value double")
+        out = {r["turn_idx"]: r["stat"] for r in
+               LS.rolling(df, "moving_median", 1,
+                          drop_edges=False).collect()}
+        # frame [-1, +1]: median(5,1)=3, median(5,1,9)=5, median(1,9,2)=2
+        assert out[0] == 3.0 and out[1] == 5.0 and out[2] == 2.0
+        assert out[6] == 5.0  # median(3, 7)
+
+    def test_median_resists_outlier_where_avg_does_not(self, spark):
+        from ts_pymfe_spark.operators import local_stats as LS
+        rows = [("c", i, 1000.0 if i == 5 else 1.0) for i in range(11)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx long, value double")
+        med = LS.rolling(df, "moving_median", 2, drop_edges=True)
+        assert all(r["stat"] == 1.0 for r in med.collect())

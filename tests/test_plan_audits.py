@@ -376,3 +376,17 @@ def test_tfidf_topk_token_stream_shuffles_once(spark):
     # the token explode must appear exactly once: a self-join replan
     # would generate two Generate nodes over the corpus scan
     assert p.count("Generate explode") == 1, p
+
+
+def test_key_ols_single_exchange(spark):
+    from ts_pymfe_spark.operators.trend import key_ols
+
+    p = plan(key_ols(_events(spark)))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_moving_median_single_exchange(spark):
+    from ts_pymfe_spark.operators import local_stats as LS
+
+    p = plan(LS.rolling(_series6(spark), "moving_median", 3))
+    assert p.count("Exchange hashpartitioning") == 1, p

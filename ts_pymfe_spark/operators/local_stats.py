@@ -100,6 +100,14 @@ _ROLLING_STATS = {
         F.min(v).over(_frame(k)) > 0,
         F.exp(F.avg(F.log(v)).over(_frame(k))),
     ),
+    # rolling EXACT median (round 6): percentile over the ROWS frame
+    # (Spark percentile == DuckDB quantile_cont, the convention
+    # verified by exact_quantiles_user).  Exact per-frame sort costs
+    # O(w log w) per row — fine at the reference's half-widths; for
+    # wide frames at 100 TB route through the mergeable histogram
+    # sketch (operators/histogram.py) instead.
+    "moving_median": lambda v, k: F.percentile(v, F.lit(0.5))
+    .over(_frame(k)),
 }
 
 

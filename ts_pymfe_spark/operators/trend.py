@@ -115,3 +115,57 @@ def rolling_slope(df: DataFrame, k: int = 20, key: str = "conv_id",
             .where(F.col("_n") >= k)
             .select(key, order_col,
                     (F.col("_slope") + F.lit(0.0)).alias("slope_k")))
+
+
+def key_ols(df: DataFrame, key: str = "user_id", x_col: str = "ts",
+            y_col: str = "value") -> DataFrame:
+    """Per-key OLS fit + Pearson correlation of two columns (late
+    round 6): slope/intercept of y ~ x and corr(x, y) — "is this
+    user's metric drifting with time / with another metric", the
+    whole-key counterpart of ``rolling_slope``'s local view.
+    Timestamps are accepted for ``x_col`` (cast to epoch seconds).
+
+    -> (key, n, corr_xy, slope, intercept); keys with < 2 points or
+    zero variance on either side emit NULLs (corr needs both, the
+    fit needs var(x) > 0).
+
+    Numerics: TWO-PASS centered sums — the 6-dp-rounded per-key means
+    attach as unbounded windows (no self-join, the
+    counters.mad_anomaly lesson) and the co-moments sum (x-mx)(y-my)
+    at spread scale, so engine summation order dies in the 6-dp round
+    (raw Σxy with epoch-scale x carries ~1e15 partials).  All ratios
+    divide inside the ok-guard (ANSI lazy CaseWhen).
+
+    Scale shape: ONE exchange — mean windows and the final
+    aggregation all partition by ``key``; per-key state is five
+    running sums.
+    """
+    x0 = F.col(x_col)
+    x = (x0.cast("timestamp").cast("double")
+         if dict(df.dtypes)[x_col] in ("timestamp", "timestamp_ntz", "date")
+         else x0.cast("double"))
+    y = F.col(y_col).cast("double")
+    wk = Window.partitionBy(key)
+    rows = (df.where(x.isNotNull() & y.isNotNull())
+            .select(F.col(key), x.alias("_x"), y.alias("_y"))
+            .withColumn("_mx", F.round(F.avg("_x").over(wk), 6))
+            .withColumn("_my", F.round(F.avg("_y").over(wk), 6)))
+    dx = F.col("_x") - F.col("_mx")
+    dy = F.col("_y") - F.col("_my")
+    agg = rows.groupBy(key).agg(
+        F.count("*").alias("_n"),
+        F.max("_mx").alias("_mx"), F.max("_my").alias("_my"),
+        F.sum(dx * dy).alias("_sxy"),
+        F.sum(dx * dx).alias("_sxx"),
+        F.sum(dy * dy).alias("_syy"))
+    ok_corr = (F.col("_n") > 1) & (F.col("_sxx") > 0) & (F.col("_syy") > 0)
+    ok_fit = (F.col("_n") > 1) & (F.col("_sxx") > 0)
+    corr = F.col("_sxy") / F.sqrt(F.col("_sxx") * F.col("_syy"))
+    slope = F.col("_sxy") / F.col("_sxx")
+    return agg.select(
+        F.col(key),
+        F.col("_n").alias("n"),
+        (F.round(F.when(ok_corr, corr), 6) + F.lit(0.0)).alias("corr_xy"),
+        (F.round(F.when(ok_fit, slope), 6) + F.lit(0.0)).alias("slope"),
+        (F.round(F.when(ok_fit, F.col("_my") - slope * F.col("_mx")), 6)
+         + F.lit(0.0)).alias("intercept"))
