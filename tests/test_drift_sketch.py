@@ -257,3 +257,124 @@ class TestMovingMedian:
             rows, "conv_id string, turn_idx long, value double")
         med = LS.rolling(df, "moving_median", 2, drop_edges=True)
         assert all(r["stat"] == 1.0 for r in med.collect())
+
+
+# ---------------------------------------------------------------------------
+# Property layer (hypothesis over pure-Python mirrors, each validated
+# against Spark on one fixed case — the HLL-register test pattern).
+# ---------------------------------------------------------------------------
+
+def _py_ks(xs0, xs1):
+    """Literal two-sample KS: max over pooled values of |F0 - F1|."""
+    n0, n1 = len(xs0), len(xs1)
+    if not n0 or not n1:
+        return None
+    pool = sorted(set(xs0) | set(xs1))
+    return max(abs(sum(1 for v in xs0 if v <= x) / n0
+                   - sum(1 for v in xs1 if v <= x) / n1)
+               for x in pool)
+
+
+def _py_cms(values, d=4, w=2048):
+    """Independent replica of cms_sketch's counter table."""
+    import hashlib
+
+    def coef(which, i):
+        h = int(hashlib.md5(f"cms{which}:{i}".encode()).hexdigest()[:8], 16)
+        return (h % ((1 << 22) - 1)) + 1
+
+    P = (1 << 61) - 1
+    sk = {}
+    for v in values:
+        x = int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16)
+        for i in range(d):
+            b = ((coef("a", i) * x + coef("b", i)) % P) % w
+            sk[(i, b)] = sk.get((i, b), 0) + 1
+    return sk
+
+
+def test_ks_mirror_properties():
+    """D in [0, 1]; symmetric under group swap; 0 on identical
+    multisets; 1 on disjoint ranges (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.lists(st.integers(-50, 50), min_size=1, max_size=60)
+
+    @settings(max_examples=200, deadline=None)
+    @given(vals, vals)
+    def check(a, b):
+        d = _py_ks(a, b)
+        assert 0.0 <= d <= 1.0
+        assert d == _py_ks(b, a)
+        assert _py_ks(a, a) == 0.0
+        lo, hi = [x - 1000 for x in a], [x + 1000 for x in b]
+        assert _py_ks(lo, hi) == 1.0
+
+    check()
+
+
+def test_ks_spark_matches_mirror_once(spark):
+    xs0 = [((i * 37) % 23) * 1.0 for i in range(40)]
+    xs1 = [((i * 41) % 29) * 1.3 + 2.0 for i in range(55)]
+    rows = ([("k", v, 0) for v in xs0] + [("k", v, 1) for v in xs1])
+    out = ks_drift(_pop(spark, rows), _grp()).collect()[0]
+    assert out["ks_d"] == round(_py_ks(xs0, xs1), 6)
+
+
+def test_psi_nonnegative_property(spark):
+    """Every PSI term (p1-p0)ln(p1/p0) >= 0 because both factors share
+    sign — so psi >= 0 for ANY split; checked via the Spark op over a
+    deterministic family of skewed populations."""
+    cases = []
+    for shift in (0, 1, 5, 17):
+        cases += [(f"s{shift}", float((i * 13) % 31), 0) for i in range(64)]
+        cases += [(f"s{shift}", float((i * 7) % 31 + shift), 1)
+                  for i in range(64)]
+    for r in psi_drift(_pop(spark, cases), _grp()).collect():
+        assert r["psi"] is not None and r["psi"] >= 0.0
+
+
+def test_cms_mirror_properties():
+    """Estimate >= truth for every key; sketches sum-merge; the
+    counter table never exceeds d*w cells (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.lists(st.text(alphabet="abcdef", min_size=1, max_size=4),
+                    max_size=200)
+
+    def est(sk, v, d=4, w=64):
+        import hashlib
+
+        def coef(which, i):
+            h = int(hashlib.md5(
+                f"cms{which}:{i}".encode()).hexdigest()[:8], 16)
+            return (h % ((1 << 22) - 1)) + 1
+
+        P = (1 << 61) - 1
+        x = int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16)
+        return min(sk.get((i, ((coef("a", i) * x + coef("b", i)) % P) % w),
+                          0) for i in range(d))
+
+    @settings(max_examples=150, deadline=None)
+    @given(vals, vals)
+    def check(a, b):
+        ska, skb = _py_cms(a, d=4, w=64), _py_cms(b, d=4, w=64)
+        merged = dict(ska)
+        for k, v in skb.items():
+            merged[k] = merged.get(k, 0) + v
+        assert merged == _py_cms(a + b, d=4, w=64)
+        assert len(merged) <= 4 * 64
+        for v in set(a):
+            assert est(ska, v) >= a.count(v)
+
+    check()
+
+
+def test_cms_spark_matches_mirror_once(spark):
+    vals = [f"v{(i * 7) % 13}" for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "val string")
+    got = {(r["row"], r["bucket"]): r["cnt"]
+           for r in cms_sketch(df, "val").collect()}
+    assert got == _py_cms(vals)
