@@ -378,3 +378,33 @@ def test_cms_spark_matches_mirror_once(spark):
     got = {(r["row"], r["bucket"]): r["cnt"]
            for r in cms_sketch(df, "val").collect()}
     assert got == _py_cms(vals)
+
+
+def test_drift_report_job_end_to_end(spark, tmp_path):
+    """The CLI drift job (jobs/drift_report.py) produces every report
+    table with sane shapes from one events parquet."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import drift_report
+
+    in_dir = str(tmp_path / "ev")
+    out = str(tmp_path / "report")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .write.mode("overwrite").parquet(in_dir)
+    argv = sys.argv
+    sys.argv = ["drift_report.py", "--input", in_dir, "--output", out,
+                "--cpus", "4", "--topk", "10"]
+    try:
+        drift_report.main()
+    finally:
+        sys.argv = argv
+    ks = spark.read.parquet(f"{out}/ks_drift")
+    assert ks.count() > 0
+    assert set(ks.columns) == {"event_type", "n0", "n1", "ks_d",
+                               "ks_crit", "drifted"}
+    assert spark.read.parquet(f"{out}/psi_drift").count() > 0
+    hh = spark.read.parquet(f"{out}/heavy_hitters")
+    assert hh.count() <= 10
+    # the counter store is bounded by d*w cells, never row count
+    assert spark.read.parquet(f"{out}/cms_counters").count() <= 4 * 2048
