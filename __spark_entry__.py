@@ -4145,6 +4145,89 @@ def q_tfidf_topk(spark, sf_dir):
     return TP.tfidf_topk(read(spark, sf_dir, "documents"), k=10)
 
 
+# per-user Markov transition entropy rate + predictability
+# (funnel.transition_entropy): pi(s)p(t|s) = c/n simplification,
+# n_states over BOTH endpoints.
+@register(
+    "transition_entropy",
+    """
+    WITH p AS (
+      SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS f,
+             event_type AS t
+      FROM events),
+    c AS (SELECT user_id, f, t, count(*) AS c
+          FROM p WHERE f IS NOT NULL GROUP BY 1, 2, 3),
+    w AS (SELECT user_id, f, c,
+                 sum(c) OVER (PARTITION BY user_id) AS n,
+                 sum(c) OVER (PARTITION BY user_id, f) AS ns
+          FROM c),
+    st AS (SELECT user_id, count(DISTINCT s) AS n_states FROM (
+             SELECT user_id, f AS s FROM c
+             UNION SELECT user_id, t FROM c) GROUP BY 1),
+    h AS (SELECT user_id, max(n) AS n,
+                 -sum((CAST(c AS DOUBLE) / n)
+                      * ln(CAST(c AS DOUBLE) / ns)) AS h
+          FROM w GROUP BY 1)
+    SELECT h.user_id, CAST(h.n AS BIGINT) AS n_transitions,
+           CAST(st.n_states AS INT) AS n_states,
+           round(h.h, 6) + 0.0 AS entropy_nats,
+           round(ln(CAST(st.n_states AS DOUBLE)), 6) + 0.0
+             AS max_entropy_nats,
+           round(CASE WHEN st.n_states = 1 THEN 1.0
+                      ELSE 1.0 - h.h / ln(CAST(st.n_states AS DOUBLE))
+                 END, 6) + 0.0 AS predictability
+    FROM h JOIN st USING (user_id)
+    """,
+)
+def q_transition_entropy(spark, sf_dir):
+    from ts_pymfe_spark.operators.funnel import transition_entropy
+
+    return transition_entropy(read(spark, sf_dir, "events"),
+                              tiebreak_col="event_id")
+
+
+def _benford_oracle() -> str:
+    from ts_pymfe_spark.operators.drift import (BENFORD_CHI2_CRIT_5PCT,
+                                                BENFORD_P)
+
+    e_case = ("CASE d " + " ".join(
+        f"WHEN '{d}' THEN {p!r}" for d, p in BENFORD_P.items())
+        + " END")
+    return f"""
+    WITH r AS (
+      SELECT event_type,
+             regexp_extract(CAST(abs(CAST(value AS DOUBLE)) AS VARCHAR),
+                            '[1-9]', 0) AS d
+      FROM events WHERE value IS NOT NULL),
+    f AS (SELECT event_type, d FROM r WHERE d != ''),
+    per AS (SELECT event_type, d, count(*) AS c FROM f GROUP BY 1, 2),
+    w AS (SELECT event_type, d, c, {e_case} AS e,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM per),
+    a AS (SELECT event_type, max(n) AS n,
+                 sum((c - n * e) * (c - n * e) / (n * e)) AS x2p,
+                 sum(e) AS ep
+          FROM w GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(x2p + n * (1.0 - ep), 6) + 0.0 AS chi2,
+           (x2p + n * (1.0 - ep)) <= {BENFORD_CHI2_CRIT_5PCT}
+             AS benford_ok
+    FROM a
+    """
+
+
+# Benford first-digit screen per event_type (drift.benford_deviation):
+# string-extracted leading digit, chi2 vs embedded log10(1+1/d)
+# literals, missing-digit mass corrected.
+@register("benford_deviation", _benford_oracle())
+def q_benford_deviation(spark, sf_dir):
+    from ts_pymfe_spark.operators.drift import benford_deviation
+
+    return benford_deviation(read(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -4182,6 +4265,7 @@ _DRIVER_PRIORITY = [
     # would leave it unchecked); rotate these to the front in round 7.
     "ks_drift", "psi_drift", "daily_drift", "cms_topk_users",
     "tfidf_topk", "moving_median", "key_ols",
+    "transition_entropy", "benford_deviation",
     # green in the r5 driver window (50) — keep local strict coverage,
     # no new hard-signal row needed
     "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",

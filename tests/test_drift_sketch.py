@@ -408,3 +408,83 @@ def test_drift_report_job_end_to_end(spark, tmp_path):
     assert hh.count() <= 10
     # the counter store is bounded by d*w cells, never row count
     assert spark.read.parquet(f"{out}/cms_counters").count() <= 4 * 2048
+
+
+class TestTransitionEntropy:
+    def _seq(self, spark, states):
+        rows = [("u", i, s) for i, s in enumerate(states)]
+        return spark.createDataFrame(
+            rows, "user_id string, event_id long, event_type string") \
+            .withColumn("ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+
+    def test_deterministic_cycle_entropy_zero(self, spark):
+        from ts_pymfe_spark.operators.funnel import transition_entropy
+        df = self._seq(spark, list("abababab"))
+        out = transition_entropy(df, tiebreak_col="event_id").collect()[0]
+        assert out["entropy_nats"] == 0.0
+        assert out["n_states"] == 2
+        assert out["predictability"] == 1.0
+        assert out["n_transitions"] == 7
+
+    def test_hand_computed_mixed(self, spark):
+        import math
+        from ts_pymfe_spark.operators.funnel import transition_entropy
+        # a,a,b,b -> a->a, a->b, b->b: pi(a)=2/3 with H_a=ln2, H_b=0
+        df = self._seq(spark, list("aabb"))
+        out = transition_entropy(df, tiebreak_col="event_id").collect()[0]
+        exp = (2 / 3) * math.log(2)
+        assert out["entropy_nats"] == round(exp, 6)
+        assert out["max_entropy_nats"] == round(math.log(2), 6)
+        assert out["predictability"] == round(1 - exp / math.log(2), 6)
+
+    def test_single_state_loop(self, spark):
+        from ts_pymfe_spark.operators.funnel import transition_entropy
+        df = self._seq(spark, list("aaaa"))
+        out = transition_entropy(df, tiebreak_col="event_id").collect()[0]
+        assert (out["n_states"], out["entropy_nats"],
+                out["predictability"]) == (1, 0.0, 1.0)
+
+    def test_single_event_key_emits_nothing(self, spark):
+        from ts_pymfe_spark.operators.funnel import transition_entropy
+        df = self._seq(spark, ["a"])
+        assert transition_entropy(df, tiebreak_col="event_id").count() == 0
+
+
+class TestBenford:
+    def _vals(self, spark, vals, key="k"):
+        return spark.createDataFrame(
+            [(key, float(v)) for v in vals],
+            "event_type string, value double")
+
+    def test_single_digit_pile_flagged(self, spark):
+        from ts_pymfe_spark.operators.drift import (
+            BENFORD_P, benford_deviation)
+        out = benford_deviation(self._vals(spark, [9.0] * 100)) \
+            .collect()[0]
+        e9 = BENFORD_P[9]
+        # chi2 = (100-100*e9)^2/(100*e9) + 100*(1 - e9)
+        exp = (100 - 100 * e9) ** 2 / (100 * e9) + 100 * (1 - e9)
+        assert out["chi2"] == round(exp, 6)
+        assert out["benford_ok"] is False
+
+    def test_digit_is_magnitude_invariant(self, spark):
+        from ts_pymfe_spark.operators.drift import benford_deviation
+        a = benford_deviation(self._vals(spark, [0.02, 2000.0, -250.0,
+                                                 2.5e8])).collect()[0]
+        b = benford_deviation(self._vals(spark, [2.0] * 4)).collect()[0]
+        assert a["chi2"] == b["chi2"]  # all leading digit 2
+
+    def test_zero_values_excluded(self, spark):
+        from ts_pymfe_spark.operators.drift import benford_deviation
+        assert benford_deviation(self._vals(spark, [0.0, 0.0])).count() == 0
+
+    def test_benford_like_sample_passes(self, spark):
+        from ts_pymfe_spark.operators.drift import (BENFORD_P,
+                                                    benford_deviation)
+        # counts proportional to Benford probabilities (n=1000)
+        vals = []
+        for d, p in BENFORD_P.items():
+            vals += [float(d)] * round(p * 1000)
+        out = benford_deviation(self._vals(spark, vals)).collect()[0]
+        assert out["benford_ok"] is True
+        assert out["chi2"] < 1.0  # rounding residue only

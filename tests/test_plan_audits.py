@@ -390,3 +390,20 @@ def test_moving_median_single_exchange(spark):
 
     p = plan(LS.rolling(_series6(spark), "moving_median", 3))
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_transition_entropy_single_exchange(spark):
+    from ts_pymfe_spark.operators.funnel import transition_entropy
+
+    p = plan(transition_entropy(_events(spark), tiebreak_col="event_id"))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_benford_raw_rows_never_shuffled(spark):
+    """Both exchanges carry (key, digit) cell aggregates (<= 9 per
+    key per map task after the partial count), never raw rows."""
+    from ts_pymfe_spark.operators.drift import benford_deviation
+
+    p = plan(benford_deviation(_events(spark)))
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "partial_count" in p, p  # map-side combine before shuffle 1

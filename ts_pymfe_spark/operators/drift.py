@@ -219,3 +219,74 @@ def daily_drift(df: DataFrame, ts_col: str = "ts",
                 "max_v",
                 (F.round(F.col("_mean") - F.col("_prev"), 6)
                  + F.lit(0.0)).alias("dod_mean_delta")))
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), embedded as
+#: full-precision literals so both engines use the identical doubles.
+BENFORD_P = {
+    1: 0.30102999566398120,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+#: chi-square 5% critical value at 8 degrees of freedom (9 digits - 1).
+BENFORD_CHI2_CRIT_5PCT = 15.507
+
+
+def benford_deviation(df: DataFrame, key: str = "event_type",
+                      value_col: str = "value") -> DataFrame:
+    """First-significant-digit data-quality screen (late round 6,
+    Benford 1938 / Nigrini's audit statistic): per key, the chi-square
+    distance of the observed leading-digit distribution from Benford's
+    law, plus the 5% verdict.  Fabricated, truncated, or
+    unit-mismatched numeric feeds show up here before any downstream
+    stat moves.
+
+    -> (key, n, chi2, benford_ok); keys with no nonzero values emit no
+    row.  Digits observed 0 times still contribute their expected mass
+    (the correction term n·(1 - Σ_present e_d) — dropping it
+    understates the statistic exactly when the data is MOST broken).
+
+    Digit extraction is STRING-based (first [1-9] char of the value's
+    decimal repr): both engines print shortest-round-trip doubles and
+    every format — plain or scientific — leads with the mantissa, so
+    the leading digit is engine-identical, with no log10 last-ulp
+    boundary hazard at exact powers of ten.
+
+    Scale shape: raw rows NEVER shuffle — the (key, digit) count
+    partial-aggregates map-side, so the first exchange carries at most
+    9 cells per key per map task and the second (re-clustering the
+    <= 9-row groups by key for the total window) is just as bounded.
+    Forcing a single exchange would require repartitioning the RAW
+    rows by key first — strictly worse (the ngram_topk two-stage
+    shape, not the mad_anomaly one).
+    """
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.regexp_extract(v.cast("string"), "[1-9]", 0)
+    rows = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(key), digit.alias("_d"))
+            .where(F.col("_d") != ""))
+    per = rows.groupBy(key, "_d").agg(F.count("*").alias("_c"))
+    e = F.element_at(
+        F.create_map(*[F.lit(x) for kv in BENFORD_P.items()
+                       for x in (str(kv[0]), kv[1])]), F.col("_d"))
+    wk = Window.partitionBy(key)
+    tot = (per.withColumn("_n", F.sum("_c").over(wk))
+           .withColumn("_e", e))
+    ne = F.col("_n") * F.col("_e")
+    agg = tot.groupBy(key).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum((F.col("_c") - ne) * (F.col("_c") - ne) / ne).alias("_x2p"),
+        F.sum("_e").alias("_ep"),
+        F.max("_n").alias("_nd"))
+    chi2 = F.col("_x2p") + F.col("_nd") * (F.lit(1.0) - F.col("_ep"))
+    return agg.select(
+        F.col(key), "n",
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+        (chi2 <= F.lit(BENFORD_CHI2_CRIT_5PCT)).alias("benford_ok"))

@@ -165,3 +165,67 @@ def cohort_retention(df: DataFrame, key: str = "user_id",
         F.lit(1).alias("one"))
     return (per_key.groupBy("cohort_day", "offset_days")
             .agg(F.count("*").cast("long").alias("n_active")))
+
+
+def transition_entropy(df: DataFrame, key: str = "user_id",
+                       ts_col: str = "ts", state_col: str = "event_type",
+                       tiebreak_col: str | None = None) -> DataFrame:
+    """Markov predictability of each key's event stream (late round 6):
+    per-key first-order transition entropy rate
+
+        H = - sum_s pi(s) * sum_t p(t|s) * ln p(t|s)
+
+    with pi the empirical from-state frequency — 0 nats for a
+    deterministic loop, ln(#states) for uniform hopping.  The per-key
+    companion of ``transition_matrix``'s corpus view: "whose behavior
+    is predictable", the engagement-segmentation feature.
+
+    -> (key, n_transitions, n_states, entropy_nats, max_entropy_nats,
+    predictability); keys with < 2 events emit no row (no transition
+    to measure).  ``n_states`` counts distinct states over BOTH
+    transition endpoints; ``predictability`` = 1 - H / ln(n_states),
+    1.0 by convention when n_states = 1 (a single looping state is
+    perfectly predictable; H = 0 there, and H <= ln(n_states) always
+    since every out-distribution lives on the observed state set).
+
+    Numerics: p(t|s) and pi(s) are ratios of exact counts; each term
+    is one IEEE division + ln, summed over at most states^2 addends —
+    6-dp rounding absorbs summation order.
+
+    Scale shape: ONE exchange — the lag window partitions by ``key``;
+    the (key, from, to) pre-aggregation and both window totals reuse
+    that partitioning (subset rule); the entropy reduction runs over
+    O(states^2) rows per key, never the raw stream.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    pairs = (df.select(F.col(key),
+                       F.lag(state_col).over(w).alias("_from"),
+                       F.col(state_col).alias("_to"))
+             .filter(F.col("_from").isNotNull()))
+    cell = pairs.groupBy(key, "_from", "_to").agg(
+        F.count("*").alias("_c"))
+    wk = Window.partitionBy(key)
+    wks = Window.partitionBy(key, "_from")
+    tot = (cell
+           .withColumn("_n", F.sum("_c").over(wk))
+           .withColumn("_ns", F.sum("_c").over(wks)))
+    # pi(s)·p(t|s) == c/n, so each addend simplifies to (c/n)·ln p(t|s)
+    p = F.col("_c").cast("double") / F.col("_ns")
+    addend = (F.col("_c").cast("double") / F.col("_n")) * F.log(p)
+    agg = tot.groupBy(key).agg(
+        F.max("_n").cast("long").alias("n_transitions"),
+        F.size(F.array_distinct(F.flatten(
+            F.collect_set(F.array("_from", "_to"))))).alias("n_states"),
+        (-F.sum(addend)).alias("_h"))
+    one = F.col("n_states") == 1
+    hmax = F.log(F.col("n_states").cast("double"))
+    return agg.select(
+        F.col(key), "n_transitions", "n_states",
+        (F.round(F.col("_h"), 6) + F.lit(0.0)).alias("entropy_nats"),
+        (F.round(hmax, 6) + F.lit(0.0)).alias("max_entropy_nats"),
+        (F.round(F.when(one, F.lit(1.0))
+                 .otherwise(F.lit(1.0) - F.col("_h") / hmax), 6)
+         + F.lit(0.0)).alias("predictability"))
