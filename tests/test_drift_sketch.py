@@ -488,3 +488,37 @@ class TestBenford:
         out = benford_deviation(self._vals(spark, vals)).collect()[0]
         assert out["benford_ok"] is True
         assert out["chi2"] < 1.0  # rounding residue only
+
+
+class TestKsBucketed:
+    def test_value_equal_to_single_window_plan(self, spark):
+        rows = []
+        for k in ("a", "b", "c"):
+            rows += [(k, float((i * 37 + ord(k)) % 50), i % 2)
+                     for i in range(300)]
+        # ties straddling bucket-boundary candidates + empty side key
+        rows += [("d", 5.0, 0)] * 10 + [("d", 5.0, 1)] * 3
+        rows += [("e", 1.0, 0)] * 4
+        df = _pop(spark, rows)
+        plain = {r["event_type"]: r
+                 for r in ks_drift(df, _grp()).collect()}
+        for B in (2, 7, 64):
+            bucketed = {r["event_type"]: r
+                        for r in ks_drift(df, _grp(),
+                                          buckets=B).collect()}
+            assert set(bucketed) == set(plain)
+            for k in plain:
+                for c in ("n0", "n1", "ks_d", "ks_crit", "drifted"):
+                    assert bucketed[k][c] == plain[k][c], (k, c, B)
+
+    def test_bucketed_window_splits_across_tasks(self, spark):
+        """The ordered-window stage must partition by (key, bucket) —
+        the hot key's rows split across B tasks instead of one."""
+        from tests.test_plan_audits import plan as _plan
+
+        rows = [("hot", float(i % 97), i % 2) for i in range(500)]
+        p = _plan(ks_drift(_pop(spark, rows), _grp(), buckets=16))
+        assert "windowspecdefinition(event_type" in p
+        # the local cumulative window clusters by (key, _b)
+        assert "hashpartitioning(event_type#" in p
+        assert "_b#" in p.split("Window")[1], p  # bucket in the spec

@@ -115,3 +115,12 @@ timed("ks_drift_10M", ks_drift(ev, grp))
 timed("psi_drift_10M", psi_drift(ev, grp))
 timed("daily_drift_10M", daily_drift(ev))
 timed("cms_topk_10M", cms_topk(ev, "user_id", k=50))
+
+# one 10M-row HOT KEY through the KS screen: plain single-window vs
+# the bucketed two-level prefix sum (value-equal, asserted in pytest)
+hot = (spark.range(10_000_000).select(
+    F.lit("hot").alias("event_type"),
+    (F.pmod(F.xxhash64("id"), F.lit(100000)) / 7.0).alias("value"),
+    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(2)).alias("user_id")))
+timed("ks_hotkey_plain_10M", ks_drift(hot, grp))
+timed("ks_hotkey_bucketed64_10M", ks_drift(hot, grp, buckets=64))

@@ -48,7 +48,8 @@ KS_C_5PCT = 1.358
 
 
 def ks_drift(df: DataFrame, grp: Column, key: str = "event_type",
-             value_col: str = "value") -> DataFrame:
+             value_col: str = "value",
+             buckets: int | None = None) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift screen per key: split each
     key's values into population 0 / population 1 by the caller's
     ``grp`` expression (cast to int 0/1), and compute
@@ -64,25 +65,41 @@ def ks_drift(df: DataFrame, grp: Column, key: str = "event_type",
     CURRENT ROW): every row of a tie group sees the full tie group,
     matching the right-continuous ECDF definition.
 
-    Scale shape: ONE exchange — the RANGE cumulative windows, the
-    per-key total windows and the final max-aggregation all partition
-    by ``key``.  Per-key work is the sort the window already pays;
-    state is two running integers.
+    Scale shape (default): ONE exchange — the RANGE cumulative
+    windows, the per-key total windows and the final max-aggregation
+    all partition by ``key``.  Per-key work is the sort the window
+    already pays; state is two running integers.
+
+    Hot-key mitigation (``buckets=B``, the counters.chunk_s analogue
+    for VALUE-ordered windows): a ``Window.partitionBy(key)``
+    serializes ALL of one key's rows through a single task — a
+    ~10^10-row key pins one core.  With ``buckets`` set the ECDF goes
+    DISTRIBUTED two-level prefix-sum: per-key value range (one tiny
+    groupBy, broadcast back — O(keys) rows) splits each key into B
+    equal-width value buckets; local RANGE cumulatives run per
+    (key, bucket) in parallel; per-bucket totals take an EXCLUSIVE
+    prefix over the O(B)-row bucket ledger; global cum = local +
+    offset.  Ties never straddle buckets (equal values share a
+    bucket), so the result is VALUE-EQUAL to the single-window plan
+    (asserted in tests/test_drift_sketch.py).
     """
     v = F.col(value_col).cast("double")
     rows = (df.where(v.isNotNull())
             .select(F.col(key), v.alias("_v"),
                     grp.cast("int").alias("_g")))
-    wc = (Window.partitionBy(key).orderBy("_v")
-          .rangeBetween(Window.unboundedPreceding, Window.currentRow))
-    wk = Window.partitionBy(key)
     i0 = F.when(F.col("_g") == 0, 1).otherwise(0)
     i1 = F.when(F.col("_g") == 1, 1).otherwise(0)
-    staged = (rows
-              .withColumn("_c0", F.sum(i0).over(wc))
-              .withColumn("_c1", F.sum(i1).over(wc))
-              .withColumn("_n0", F.sum(i0).over(wk))
-              .withColumn("_n1", F.sum(i1).over(wk)))
+    if buckets is not None:
+        staged = _ks_bucketed_cum(rows, key, i0, i1, buckets)
+    else:
+        wc = (Window.partitionBy(key).orderBy("_v")
+              .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        wk = Window.partitionBy(key)
+        staged = (rows
+                  .withColumn("_c0", F.sum(i0).over(wc))
+                  .withColumn("_c1", F.sum(i1).over(wc))
+                  .withColumn("_n0", F.sum(i0).over(wk))
+                  .withColumn("_n1", F.sum(i1).over(wk)))
     # try_divide: ANSI mode raises on ANY division by zero (doubles
     # included), so an empty side must yield NULL, which max() skips
     # and the ok guard turns into NULL outputs — the oracle's CASE
@@ -102,6 +119,47 @@ def ks_drift(df: DataFrame, grp: Column, key: str = "event_type",
         (F.round(F.when(ok, F.col("_d")), 6) + F.lit(0.0)).alias("ks_d"),
         (F.round(F.when(ok, crit), 6) + F.lit(0.0)).alias("ks_crit"),
         F.when(ok, F.col("_d") > crit).alias("drifted"))
+
+
+def _ks_bucketed_cum(rows: DataFrame, key: str, i0, i1,
+                     buckets: int) -> DataFrame:
+    """Distributed pooled-ECDF cumulatives (two-level prefix sum):
+    -> rows + (_c0, _c1, _n0, _n1), value-equal to the single-window
+    RANGE cumulative.  See ks_drift's hot-key note."""
+    # per-key value range: tiny aggregate, broadcast back (a window
+    # would re-serialize the hot key; a plain join of this SEPARATE
+    # aggregation is one broadcast of O(keys) rows)
+    bounds = rows.groupBy(key).agg(F.min("_v").alias("_bmn"),
+                                   F.max("_v").alias("_bmx"))
+    r = rows.join(F.broadcast(bounds), key)
+    width = (F.col("_bmx") - F.col("_bmn")) / F.lit(float(buckets))
+    b = F.when(
+        F.col("_bmx") > F.col("_bmn"),
+        F.least(F.lit(buckets - 1),
+                F.floor((F.col("_v") - F.col("_bmn")) / width)
+                .cast("int"))).otherwise(F.lit(0))
+    r = r.withColumn("_b", b).drop("_bmn", "_bmx")
+    # local cumulatives within each (key, bucket) — parallel tasks
+    wloc = (Window.partitionBy(key, "_b").orderBy("_v")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    r = (r.withColumn("_l0", F.sum(i0).over(wloc))
+         .withColumn("_l1", F.sum(i1).over(wloc)))
+    # exclusive prefix over the O(B)-row-per-key bucket ledger
+    cells = r.groupBy(key, "_b").agg(F.sum(i0).alias("_t0"),
+                                     F.sum(i1).alias("_t1"))
+    wpre = (Window.partitionBy(key).orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (cells
+            .withColumn("_o0", F.coalesce(F.sum("_t0").over(wpre),
+                                          F.lit(0)))
+            .withColumn("_o1", F.coalesce(F.sum("_t1").over(wpre),
+                                          F.lit(0)))
+            .withColumn("_n0", F.sum("_t0").over(Window.partitionBy(key)))
+            .withColumn("_n1", F.sum("_t1").over(Window.partitionBy(key)))
+            .select(key, "_b", "_o0", "_o1", "_n0", "_n1"))
+    return (r.join(offs, [key, "_b"])
+            .withColumn("_c0", F.col("_l0") + F.col("_o0"))
+            .withColumn("_c1", F.col("_l1") + F.col("_o1")))
 
 
 def psi_drift(df: DataFrame, grp: Column, key: str = "event_type",
