@@ -1042,3 +1042,41 @@ def test_streaming_cms_matches_batch(spark, turns, tmp_path):
     import os
     assert len([d for d in os.listdir(store)
                 if d.startswith("batch=")]) >= 2
+
+
+def test_streaming_daily_health_matches_batch(spark, tmp_path):
+    """Streamed health partials, merged on read, equal the batch
+    daily_drift bit-for-bit on binary-exact values (sums of multiples
+    of 1/4 are exact in any merge order)."""
+    import datetime as dt
+
+    from ts_pymfe_spark.operators.drift import daily_drift
+    from ts_pymfe_spark.streaming.rollup_stream import (
+        read_daily_health,
+        run_health_stream_to_store,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for d in range(5):
+        for i in range(200):
+            v = None if (i % 17 == 0) else (i % 40) * 0.25
+            rows.append(("c%d" % (i % 7), i,
+                         t0 + dt.timedelta(days=d, seconds=i), v))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, ts timestamp, value double")
+
+    in_dir = str(tmp_path / "h_in")
+    store = str(tmp_path / "h_store")
+    ckpt = str(tmp_path / "h_ckpt")
+    df.repartition(16).write.mode("overwrite").parquet(in_dir)
+
+    run_health_stream_to_store(spark, in_dir, store, ckpt)
+    got = read_daily_health(spark, store).orderBy("col_name", "day")
+    exp = daily_drift(spark.read.parquet(in_dir)) \
+        .orderBy("col_name", "day")
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in exp.collect()]
+    import os
+    assert len([d for d in os.listdir(store)
+                if d.startswith("batch=")]) >= 2

@@ -348,3 +348,61 @@ def benford_deviation(df: DataFrame, key: str = "event_type",
         F.col(key), "n",
         (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
         (chi2 <= F.lit(BENFORD_CHI2_CRIT_5PCT)).alias("benford_ok"))
+
+
+def daily_health_partials(df: DataFrame, ts_col: str = "ts",
+                          cols: Sequence[str] = ("value",)) -> DataFrame:
+    """The sum/min/max-MERGEABLE form of ``daily_drift``'s aggregate:
+    (day, col_name, n, n_null, sum_v, min_v, max_v) — partials from
+    any row subset merge by summing n/n_null/sum_v and min/max-ing the
+    extremes, the same merge-on-read shape as the tier moment and
+    sketch stores.  ``daily_health_from_partials`` reduces merged
+    partials to daily_drift's exact output schema."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("_day")
+    stacked = df.select(
+        day,
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("_col"),
+                     F.col(c).cast("double").alias("_v"))
+            for c in cols])).alias("_s"),
+    ).select("_day", "_s._col", "_s._v")
+    return stacked.groupBy("_day", "_col").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_v").isNull().cast("long")).alias("n_null"),
+        F.sum("_v").alias("sum_v"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"))
+
+
+def daily_health_from_partials(partials: DataFrame) -> DataFrame:
+    """Merge health partials (any number of subsets of the same
+    stream) and emit daily_drift's output schema.  The mean comes from
+    merged sum/count, so it equals the batch avg up to double
+    summation order — bit-equal whenever the values' sums are exact
+    (asserted with binary-exact fixtures in the streaming parity
+    test), within the 6-dp round otherwise."""
+    merged = partials.groupBy("_day", "_col").agg(
+        F.sum("n").alias("n"),
+        F.sum("n_null").alias("n_null"),
+        F.sum("sum_v").alias("_sum"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"))
+    mean = F.round(F.try_divide(F.col("_sum"),
+                                (F.col("n") - F.col("n_null"))
+                                .cast("double")), 6)
+    wd = Window.partitionBy("_col").orderBy("_day")
+    return (merged
+            .withColumn("_mean", mean)
+            .withColumn("_prev", F.lag("_mean").over(wd))
+            .select(
+                F.col("_day").cast("string").alias("day"),
+                F.col("_col").alias("col_name"),
+                "n",
+                "n_null",
+                (F.round(F.col("n_null") / F.col("n"), 6)
+                 + F.lit(0.0)).alias("null_frac"),
+                (F.col("_mean") + F.lit(0.0)).alias("mean_v"),
+                "min_v",
+                "max_v",
+                (F.round(F.col("_mean") - F.col("_prev"), 6)
+                 + F.lit(0.0)).alias("dod_mean_delta")))

@@ -493,3 +493,48 @@ def read_cms_sketch(spark: SparkSession, store_dir: str) -> DataFrame:
     from ts_pymfe_spark.operators.sketches import cms_merge
 
     return cms_merge(spark.read.parquet(store_dir).drop("batch"))
+
+
+def run_health_stream_to_store(spark: SparkSession, input_dir: str,
+                               store_dir: str, checkpoint_dir: str,
+                               cols: tuple = ("value",),
+                               max_files_per_trigger: int = 8) -> None:
+    """availableNow streaming job: per-batch daily column-health
+    partials (drift.daily_health_partials — sum/min/max-mergeable,
+    the moments-store shape) appended under ``store_dir``.  Merge-on-
+    read via ``read_daily_health`` yields drift.daily_drift's exact
+    output schema without ever re-scanning events.
+
+    Unlike the turn-schema maintainers above, the health stream is
+    column-generic (events, turns, any table with ``ts`` + numeric
+    columns), so the stream schema is sniffed from the input's own
+    parquet footers (one metadata read, no data scan)."""
+    from ts_pymfe_spark.operators.drift import daily_health_partials
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def health_batch(batch_turns: DataFrame, batch_id: int) -> None:
+        hp = daily_health_partials(batch_turns, cols=cols)
+        hp.write.mode("overwrite").parquet(
+            f"{store_dir}/batch={batch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(health_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_daily_health(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge-on-read of the streamed health partials -> the
+    daily_drift output schema (day, col_name, n, n_null, null_frac,
+    mean_v, min_v, max_v, dod_mean_delta)."""
+    from ts_pymfe_spark.operators.drift import daily_health_from_partials
+
+    return daily_health_from_partials(
+        spark.read.parquet(store_dir).drop("batch"))
