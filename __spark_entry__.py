@@ -4228,6 +4228,57 @@ def q_benford_deviation(spark, sf_dir):
     return benford_deviation(read(spark, sf_dir, "events"))
 
 
+# corpus-wide top-20 3-event behavioral paths (funnel.event_paths_topk)
+@register(
+    "event_paths_topk",
+    """
+    WITH p AS (
+      SELECT user_id,
+             lag(event_type, 2) OVER w AS s1,
+             lag(event_type, 1) OVER w AS s2,
+             event_type AS s3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    f AS (SELECT user_id, s1 || '>' || s2 || '>' || s3 AS path
+          FROM p WHERE s1 IS NOT NULL),
+    pk AS (SELECT path, user_id, count(*) AS c FROM f GROUP BY 1, 2)
+    SELECT path, CAST(sum(c) AS BIGINT) AS total_count,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM pk GROUP BY 1
+    ORDER BY total_count DESC, path ASC LIMIT 20
+    """,
+)
+def q_event_paths_topk(spark, sf_dir):
+    from ts_pymfe_spark.operators.funnel import event_paths_topk
+
+    return event_paths_topk(read(spark, sf_dir, "events"), n=3, k=20,
+                            tiebreak_col="event_id")
+
+
+# per-day exact p50/p95 of value with day-over-day deltas
+# (drift.daily_quantile_drift)
+@register(
+    "daily_quantile_drift",
+    """
+    WITH a AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+    SELECT CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+           p50 + 0.0 AS p50, p95 + 0.0 AS p95,
+           round(p50 - lag(p50) OVER (ORDER BY day), 6) + 0.0 AS d_p50,
+           round(p95 - lag(p95) OVER (ORDER BY day), 6) + 0.0 AS d_p95
+    FROM a
+    """,
+)
+def q_daily_quantile_drift(spark, sf_dir):
+    from ts_pymfe_spark.operators.drift import daily_quantile_drift
+
+    return daily_quantile_drift(read(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -4265,7 +4316,8 @@ _DRIVER_PRIORITY = [
     # would leave it unchecked); rotate these to the front in round 7.
     "ks_drift", "psi_drift", "daily_drift", "cms_topk_users",
     "tfidf_topk", "moving_median", "key_ols",
-    "transition_entropy", "benford_deviation",
+    "transition_entropy", "benford_deviation", "event_paths_topk",
+    "daily_quantile_drift",
     # green in the r5 driver window (50) — keep local strict coverage,
     # no new hard-signal row needed
     "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",

@@ -522,3 +522,56 @@ class TestKsBucketed:
         # the local cumulative window clusters by (key, _b)
         assert "hashpartitioning(event_type#" in p
         assert "_b#" in p.split("Window")[1], p  # bucket in the spec
+
+
+class TestEventPaths:
+    def _stream(self, spark, seqs):
+        rows = []
+        for u, states in seqs.items():
+            rows += [(u, i, s) for i, s in enumerate(states)]
+        return spark.createDataFrame(
+            rows, "user_id string, event_id long, event_type string") \
+            .withColumn("ts", F.to_timestamp(F.lit("2025-01-01")))
+
+    def test_hand_counts(self, spark):
+        from ts_pymfe_spark.operators.funnel import event_paths_topk
+        df = self._stream(spark, {"u1": list("abcabc"),
+                                  "u2": list("abc")})
+        out = {r["path"]: (r["total_count"], r["n_keys"])
+               for r in event_paths_topk(df, n=3, k=10,
+                                         tiebreak_col="event_id")
+               .collect()}
+        # u1 windows: abc, bca, cab, abc; u2: abc
+        assert out["a>b>c"] == (3, 2)
+        assert out["b>c>a"] == (1, 1)
+        assert out["c>a>b"] == (1, 1)
+
+    def test_short_keys_excluded_and_k_limit(self, spark):
+        from ts_pymfe_spark.operators.funnel import event_paths_topk
+        df = self._stream(spark, {"u1": list("ab"), "u2": list("xyz")})
+        out = event_paths_topk(df, n=3, k=1,
+                               tiebreak_col="event_id").collect()
+        assert len(out) == 1 and out[0]["path"] == "x>y>z"
+
+
+class TestDailyQuantileDrift:
+    def test_hand_case(self, spark):
+        from ts_pymfe_spark.operators.drift import daily_quantile_drift
+        rows = ([("2025-01-01 05:00:00", float(v)) for v in range(1, 101)]
+                + [("2025-01-02 05:00:00", float(v) + 10.0)
+                   for v in range(1, 101)])
+        df = spark.createDataFrame(rows, "ts string, value double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        out = {r["day"]: r for r in daily_quantile_drift(df).collect()}
+        d1, d2 = out["2025-01-01"], out["2025-01-02"]
+        assert (d1["p50"], d1["p95"]) == (50.5, 95.05)
+        assert d1["d_p50"] is None
+        assert (d2["d_p50"], d2["d_p95"]) == (10.0, 10.0)
+
+    def test_name_collision_raises(self, spark):
+        from ts_pymfe_spark.operators.drift import daily_quantile_drift
+        df = spark.createDataFrame([("2025-01-01 00:00:00", 1.0)],
+                                   "ts string, value double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        with pytest.raises(ValueError):
+            daily_quantile_drift(df, qs=(0.5, 0.5))

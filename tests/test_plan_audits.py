@@ -407,3 +407,14 @@ def test_benford_raw_rows_never_shuffled(spark):
     p = plan(benford_deviation(_events(spark)))
     assert p.count("Exchange hashpartitioning") <= 2, p
     assert "partial_count" in p, p  # map-side combine before shuffle 1
+
+
+def test_event_paths_topk_two_stage_no_expand(spark):
+    from ts_pymfe_spark.operators.funnel import event_paths_topk
+
+    p = plan(event_paths_topk(_events(spark), tiebreak_col="event_id"))
+    # key-partitioned lag window reused by the (path, key) agg;
+    # per-path reduction over reduced rows; TakeOrdered final
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "Expand" not in p, p
+    assert "TakeOrderedAndProject" in p, p

@@ -406,3 +406,43 @@ def daily_health_from_partials(partials: DataFrame) -> DataFrame:
                 "max_v",
                 (F.round(F.col("_mean") - F.col("_prev"), 6)
                  + F.lit(0.0)).alias("dod_mean_delta")))
+
+
+def daily_quantile_drift(df: DataFrame, ts_col: str = "ts",
+                         value_col: str = "value",
+                         qs: Sequence[float] = (0.5, 0.95)) -> DataFrame:
+    """Per-day EXACT quantiles of a metric with day-over-day deltas
+    (late round 6): the tail-latency/SLO companion of
+    ``daily_drift``'s mean view — a p95 that jumps while the mean
+    holds is exactly the regression the mean-only table misses.
+
+    -> (day, n, p<q>..., d_p<q>...), quantile columns named from the
+    FULL q value (p50, p99_5 — histogram._q_col_name, the
+    collision-free convention), deltas NULL on the first day.
+
+    Scale shape: one exchange into per-day percentile groups (exact
+    full-sort within each day's partition — at 100 TB swap the
+    histogram sketch in upstream, same as mad_anomaly's note); the
+    day-over-day lag window runs over the O(days) aggregate only.
+    """
+    from ts_pymfe_spark.operators.histogram import _q_col_name
+
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("_day")
+    v = F.col(value_col).cast("double")
+    names = [_q_col_name(q) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantile name collision: {names}")
+    agg = df.where(v.isNotNull()).select(day, v.alias("_v")) \
+        .groupBy("_day").agg(
+            F.count("*").cast("long").alias("n"),
+            *[F.round(F.expr(f"percentile(_v, {q!r})"), 6).alias(f"_{nm}")
+              for q, nm in zip(qs, names)])
+    wd = Window.orderBy("_day")
+    cols = [F.col("_day").cast("string").alias("day"), F.col("n")]
+    for nm in names:
+        cols.append((F.col(f"_{nm}") + F.lit(0.0)).alias(nm))
+    for nm in names:
+        cols.append(
+            (F.round(F.col(f"_{nm}") - F.lag(f"_{nm}").over(wd), 6)
+             + F.lit(0.0)).alias(f"d_{nm}"))
+    return agg.select(*cols)

@@ -229,3 +229,39 @@ def transition_entropy(df: DataFrame, key: str = "user_id",
         (F.round(F.when(one, F.lit(1.0))
                  .otherwise(F.lit(1.0) - F.col("_h") / hmax), 6)
          + F.lit(0.0)).alias("predictability"))
+
+
+def event_paths_topk(df: DataFrame, n: int = 3, k: int = 20,
+                     key: str = "user_id", ts_col: str = "ts",
+                     state_col: str = "event_type",
+                     tiebreak_col: str | None = None) -> DataFrame:
+    """Corpus-wide top-k length-``n`` event paths (late round 6): the
+    most common consecutive event-type sequences across all keys —
+    "what do users actually do", the n-gram generalization of
+    ``transition_matrix`` (n = 2) along the behavioral axis instead of
+    the token axis (textpipe.ngram_topk).
+
+    -> (path 'a>b>c', total_count, n_keys), k rows, ties deterministic
+    (count desc, path asc).
+
+    Scale shape: ONE key-partitioned exchange feeds the lag windows;
+    the (path, key) pre-aggregation reuses it (subset rule), the
+    per-path reduction shuffles already-reduced rows, and the final
+    top-k is TakeOrdered (each partition keeps k) — the ngram_topk
+    two-stage shape, no Expand.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    lags = [F.lag(state_col, n - 1 - i).over(w) for i in range(n - 1)]
+    path = F.concat_ws(">", *lags, F.col(state_col))
+    rows = (df.select(F.col(key), path.alias("path"),
+                      lags[0].isNotNull().alias("_full"))
+            .where(F.col("_full")))
+    per_key = rows.groupBy("path", key).agg(F.count("*").alias("_c"))
+    return (per_key.groupBy("path")
+            .agg(F.sum("_c").cast("long").alias("total_count"),
+                 F.count("*").cast("long").alias("n_keys"))
+            .orderBy(F.desc("total_count"), F.asc("path"))
+            .limit(k))
