@@ -17,6 +17,10 @@ Writes under ``--output``:
 * ``ks_drift/ psi_drift/``  two-sample KS and PSI per event_type
 * ``daily_health/``         per-day column health + day-over-day
                             deltas (the alerting table)
+* ``daily_quantiles/``      per-day exact p50/p95 + deltas (tail view)
+* ``benford/``              first-digit chi-square screen per
+                            event_type
+* ``predictability/``       per-user Markov transition entropy
 * ``cms_counters/``         d x w count-min counter table (the
                             MERGEABLE artifact — re-runs sum-merge;
                             any later candidate set gets frequency
@@ -47,8 +51,11 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from ts_pymfe_spark.operators.drift import (daily_drift, ks_drift,
-                                                psi_drift)
+    from ts_pymfe_spark.operators.drift import (benford_deviation,
+                                                daily_drift,
+                                                daily_quantile_drift,
+                                                ks_drift, psi_drift)
+    from ts_pymfe_spark.operators.funnel import transition_entropy
     from ts_pymfe_spark.operators.sketches import (cms_estimate,
                                                    cms_sketch)
     from ts_pymfe_spark.session import get_spark
@@ -73,6 +80,12 @@ def main() -> None:
         .parquet(f"{out}/psi_drift")
     daily_drift(ev).write.mode("overwrite") \
         .parquet(f"{out}/daily_health")
+    daily_quantile_drift(ev).write.mode("overwrite") \
+        .parquet(f"{out}/daily_quantiles")
+    benford_deviation(ev).write.mode("overwrite") \
+        .parquet(f"{out}/benford")
+    transition_entropy(ev, tiebreak_col="event_id") \
+        .write.mode("overwrite").parquet(f"{out}/predictability")
 
     # mergeable frequency store + derived heavy hitters
     sk = cms_sketch(ev, "user_id")
@@ -88,6 +101,7 @@ def main() -> None:
     from ts_pymfe_spark.plans.manifest import _footer_stats
 
     for t in ("ks_drift", "psi_drift", "daily_health",
+              "daily_quantiles", "benford", "predictability",
               "cms_counters", "heavy_hitters"):
         rows, nbytes = _footer_stats(f"{out}/{t}")
         print(f"REPORT {t}: {rows} rows, {nbytes} bytes")

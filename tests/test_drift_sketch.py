@@ -404,6 +404,8 @@ def test_drift_report_job_end_to_end(spark, tmp_path):
     assert set(ks.columns) == {"event_type", "n0", "n1", "ks_d",
                                "ks_crit", "drifted"}
     assert spark.read.parquet(f"{out}/psi_drift").count() > 0
+    for tbl in ("daily_quantiles", "benford", "predictability"):
+        assert spark.read.parquet(f"{out}/{tbl}").count() > 0
     hh = spark.read.parquet(f"{out}/heavy_hitters")
     assert hh.count() <= 10
     # the counter store is bounded by d*w cells, never row count
