@@ -577,3 +577,17 @@ class TestDailyQuantileDrift:
             .withColumn("ts", F.to_timestamp("ts"))
         with pytest.raises(ValueError):
             daily_quantile_drift(df, qs=(0.5, 0.5))
+
+
+def test_driver_window_is_the_planned_set():
+    """The driver's ~50-query correctness window is the FIRST 50
+    registered queries; pin the registration order to _DRIVER_PRIORITY
+    so an accidental reorder (or an unlisted new query, which sorts
+    FIRST and silently displaces a never-checked one out of the
+    window) fails here instead of in the round artifact."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    assert names[:50] == e._DRIVER_PRIORITY[:50]
+    unranked = [n for n in names if n not in e._DRIVER_PRIORITY]
+    assert unranked == [], f"queries missing from _DRIVER_PRIORITY: {unranked}"
