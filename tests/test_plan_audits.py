@@ -418,3 +418,25 @@ def test_event_paths_topk_two_stage_no_expand(spark):
     assert p.count("Exchange hashpartitioning") <= 2, p
     assert "Expand" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_drift_family_scans_are_column_pruned(spark):
+    """Every drift-family scan must read only the columns it uses —
+    a scan shipping all six event columns for a 3-column screen reads
+    2x the bytes at 100 TB."""
+    from ts_pymfe_spark.operators.drift import (benford_deviation,
+                                                daily_quantile_drift,
+                                                ks_drift, psi_drift)
+    from ts_pymfe_spark.operators.trend import key_ols
+
+    ev = _events(spark)
+    grp = F.col("user_id") % 2
+    for df, cols in [
+        (ks_drift(ev, grp), "user_id:bigint,event_type:string,value:double"),
+        (psi_drift(ev, grp), "user_id:bigint,event_type:string,value:double"),
+        (benford_deviation(ev), "event_type:string,value:double"),
+        (daily_quantile_drift(ev), "ts:timestamp_ntz,value:double"),
+        (key_ols(ev), "ts:timestamp_ntz,user_id:bigint,value:double"),
+    ]:
+        p = plan(df)
+        assert f"ReadSchema: struct<{cols}>" in p, (cols, p)
