@@ -4279,6 +4279,64 @@ def q_daily_quantile_drift(spark, sf_dir):
     return daily_quantile_drift(read(spark, sf_dir, "events"))
 
 
+# Flesch reading ease per doc (textpipe.readability): regex syllable
+# estimate (vowel-group runs, min 1/word), sentences = [.!?]+ runs.
+@register(
+    "readability",
+    f"""
+    WITH t AS ({_DOC_TOKENS}),
+    m AS (
+      SELECT doc_id,
+             len(tokens) AS n_words,
+             greatest(1, len(list_filter(
+               string_split_regex(text, '[.!?]+'),
+               s -> trim(s) != ''))) AS n_sentences,
+             list_aggregate(list_transform(tokens,
+               tok -> greatest(1, len(list_filter(
+                 string_split_regex(lower(tok), '[^aeiouy]+'),
+                 s -> s != '')))), 'sum') AS n_syllables
+      FROM t)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(CASE WHEN n_words > 0 THEN
+               206.835
+               - 1.015 * (CAST(n_words AS DOUBLE)
+                          / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE)
+                         / CAST(n_words AS DOUBLE))
+             END, 6) + 0.0 AS flesch
+    FROM m
+    """,
+)
+def q_readability(spark, sf_dir):
+    return TP.readability(read(spark, sf_dir, "documents"))
+
+
+# per-doc character Shannon entropy (textpipe.char_entropy)
+@register(
+    "char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ''),
+                                        c -> c != '')) AS ch
+      FROM documents),
+    per AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+    w AS (SELECT doc_id, c,
+                 sum(c) OVER (PARTITION BY doc_id) AS n
+          FROM per)
+    SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars_used,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(-sum((CAST(c AS DOUBLE) / n)
+                      * ln(CAST(c AS DOUBLE) / n)), 6) + 0.0
+             AS char_entropy_nats
+    FROM w GROUP BY 1
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    return TP.char_entropy(read(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -4317,7 +4375,7 @@ _DRIVER_PRIORITY = [
     "ks_drift", "psi_drift", "daily_drift", "cms_topk_users",
     "tfidf_topk", "moving_median", "key_ols",
     "transition_entropy", "benford_deviation", "event_paths_topk",
-    "daily_quantile_drift",
+    "daily_quantile_drift", "readability", "char_entropy",
     # green in the r5 driver window (50) — keep local strict coverage,
     # no new hard-signal row needed
     "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",

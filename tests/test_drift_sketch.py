@@ -591,3 +591,45 @@ def test_driver_window_is_the_planned_set():
     assert names[:50] == e._DRIVER_PRIORITY[:50]
     unranked = [n for n in names if n not in e._DRIVER_PRIORITY]
     assert unranked == [], f"queries missing from _DRIVER_PRIORITY: {unranked}"
+
+
+class TestTextQuality6:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+
+    def test_readability_hand_case(self, spark):
+        from ts_pymfe_spark.operators.textpipe import readability
+        # "the cat sat. it ran!" -> 5 words, 2 sentences,
+        # syllables: the=1 cat=1 sat.=1 it=1 ran!=1 -> 5
+        out = readability(self._docs(spark, ["the cat sat. it ran!"])) \
+            .collect()[0]
+        assert (out["n_words"], out["n_sentences"],
+                out["n_syllables"]) == (5, 2, 5)
+        exp = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+        assert out["flesch"] == round(exp, 6)
+
+    def test_readability_monotone_in_complexity(self, spark):
+        from ts_pymfe_spark.operators.textpipe import readability
+        simple = "the cat sat on the mat. it was fun."
+        dense = ("extraordinary organizational responsibilities "
+                 "necessitate unambiguous prioritization")
+        out = {r["doc_id"]: r["flesch"] for r in readability(
+            self._docs(spark, [simple, dense])).collect()}
+        assert out[0] > out[1]
+
+    def test_char_entropy_extremes(self, spark):
+        from ts_pymfe_spark.operators.textpipe import char_entropy
+        import math
+        out = {r["doc_id"]: r for r in char_entropy(
+            self._docs(spark, ["aaaaaaaa", "abcdefgh",
+                               "the quick brown fox"])).collect()}
+        assert out[0]["char_entropy_nats"] == 0.0      # one symbol
+        assert out[1]["char_entropy_nats"] == round(math.log(8), 6)
+        assert 0.0 < out[2]["char_entropy_nats"] < math.log(19)
+        assert out[1]["n_distinct_chars"] == 8
+
+    def test_char_entropy_empty_doc_no_row(self, spark):
+        from ts_pymfe_spark.operators.textpipe import char_entropy
+        assert char_entropy(self._docs(spark, [""])).count() == 0

@@ -440,3 +440,18 @@ def test_drift_family_scans_are_column_pruned(spark):
     ]:
         p = plan(df)
         assert f"ReadSchema: struct<{cols}>" in p, (cols, p)
+
+
+def test_char_entropy_cells_partial_aggregated(spark):
+    """The char explode shuffles (doc, char) CELLS after a map-side
+    partial count — never one row per character."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(TP.char_entropy(docs))
+    assert "partial_count" in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_readability_is_shuffle_free(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(TP.readability(docs))
+    assert "Exchange" not in p, p

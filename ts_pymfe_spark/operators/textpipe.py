@@ -1579,3 +1579,77 @@ def tfidf_topk(df: DataFrame, k: int = 10, strata_col: str = "source",
             .select(F.col("_st").alias(strata_col), "term",
                     "n_docs_stratum",
                     (F.col("score") + F.lit(0.0)).alias("score"), "rank"))
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text: str = "text") -> DataFrame:
+    """Flesch reading ease per doc (late round 6; Flesch 1948):
+    206.835 - 1.015·(words/sentences) - 84.6·(syllables/words), with
+    the standard regex syllable ESTIMATE — vowel groups per token
+    ([aeiouy]+ runs in the lowercased token), min 1 per word — and
+    sentences = terminal-punctuation runs ([.!?]+), min 1 per doc.
+    A deterministic heuristic, not a dictionary syllabifier: the point
+    is a monotone corpus-quality ranking that two engines compute
+    bit-identically, documented as the estimate it is.
+
+    -> (doc_id, n_words, n_sentences, n_syllables, flesch); docs with
+    zero words emit NULL flesch.
+
+    Scale shape: narrow per-row expressions only (split + transform +
+    aggregate) — no shuffle at all until the caller aggregates.
+    """
+    t = with_tokens(df, text)
+    syl_of = lambda tok: F.greatest(
+        F.lit(1),
+        F.size(F.filter(
+            F.split(F.lower(tok), "[^aeiouy]+"), lambda s: s != "")))
+    n_words = F.size("tokens")
+    n_syll = F.aggregate(
+        F.transform("tokens", syl_of), F.lit(0), lambda a, x: a + x)
+    sent = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split(F.col(text), r"[.!?]+"),
+                        lambda s: F.trim(s) != "")))
+    wd = n_words.cast("double")
+    fl = (F.lit(206.835)
+          - F.lit(1.015) * (wd / sent.cast("double"))
+          - F.lit(84.6) * (n_syll.cast("double") / wd))
+    return t.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        (F.round(F.when(n_words > 0, fl), 6)
+         + F.lit(0.0)).alias("flesch"))
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text: str = "text") -> DataFrame:
+    """Per-doc character-level Shannon entropy (late round 6): the
+    garbage/binary screen — natural language sits ~2.7-3.2 nats over
+    its character distribution, base64 blobs and key-mash run higher,
+    single-char padding runs to 0.  Complements quality_score's
+    token-shape view with a distributional one.
+
+    -> (doc_id, n_chars_used, n_distinct_chars, char_entropy_nats);
+    empty docs emit no row.
+
+    Scale shape: the char explode is narrow (O(chars) rows, the
+    cdc_chunks cost class); the (doc, char) count partial-aggregates
+    map-side so the exchange carries at most |alphabet| cells per doc
+    per task, and the per-doc reduction reuses the (doc) clustering
+    the same way benford's digit cells do.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text), ""),
+                           lambda c: c != "")).alias("_ch"))
+    per = chars.groupBy(id_col, "_ch").agg(F.count("*").alias("_c"))
+    wd = Window.partitionBy(id_col)
+    tot = per.withColumn("_n", F.sum("_c").over(wd))
+    p = F.col("_c").cast("double") / F.col("_n")
+    return (tot.groupBy(id_col)
+            .agg(F.max("_n").cast("long").alias("n_chars_used"),
+                 F.count("*").cast("long").alias("n_distinct_chars"),
+                 (F.round(-F.sum(p * F.log(p)), 6)
+                  + F.lit(0.0)).alias("char_entropy_nats")))
