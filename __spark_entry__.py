@@ -4337,6 +4337,39 @@ def q_char_entropy(spark, sf_dir):
     return TP.char_entropy(read(spark, sf_dir, "documents"))
 
 
+# per-dimension embedding health (textpipe.emb_dim_stats): dead-dim /
+# collapsed-scale detector, two-pass centered sd on rounded mean.
+@register(
+    "emb_dim_stats",
+    """
+    WITH r AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    m AS (
+      SELECT dim, v,
+             round(avg(v) OVER (PARTITION BY dim), 6) AS mu
+      FROM r),
+    a AS (
+      SELECT dim, count(*) AS n, max(mu) AS mu,
+             sum((v - mu) * (v - mu)) AS ss,
+             min(v) AS min_v, max(v) AS max_v
+      FROM m GROUP BY 1)
+    SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+           mu + 0.0 AS mean_v,
+           round(CASE WHEN n > 1 THEN sqrt(ss / CAST(n - 1 AS DOUBLE))
+                 END, 6) + 0.0 AS sd_v,
+           min_v, max_v,
+           coalesce(round(CASE WHEN n > 1
+                               THEN sqrt(ss / CAST(n - 1 AS DOUBLE))
+                          END, 6) + 0.0 < 1e-6, TRUE) AS dead
+    FROM a
+    """,
+)
+def q_emb_dim_stats(spark, sf_dir):
+    return TP.emb_dim_stats(read(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -4376,6 +4409,7 @@ _DRIVER_PRIORITY = [
     "tfidf_topk", "moving_median", "key_ols",
     "transition_entropy", "benford_deviation", "event_paths_topk",
     "daily_quantile_drift", "readability", "char_entropy",
+    "emb_dim_stats",
     # green in the r5 driver window (50) — keep local strict coverage,
     # no new hard-signal row needed
     "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",

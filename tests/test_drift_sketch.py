@@ -633,3 +633,25 @@ class TestTextQuality6:
     def test_char_entropy_empty_doc_no_row(self, spark):
         from ts_pymfe_spark.operators.textpipe import char_entropy
         assert char_entropy(self._docs(spark, [""])).count() == 0
+
+
+class TestEmbDimStats:
+    def test_hand_case_dead_and_live_dims(self, spark):
+        from ts_pymfe_spark.operators.textpipe import emb_dim_stats
+        rows = [(i, [float(i), 5.0, -float(i)]) for i in range(4)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        out = {r["dim"]: r for r in emb_dim_stats(df).collect()}
+        assert out[0]["mean_v"] == 1.5 and out[0]["dead"] is False
+        assert out[1]["sd_v"] == 0.0 and out[1]["dead"] is True
+        assert out[2]["min_v"] == -3.0 and out[2]["max_v"] == 0.0
+        import math
+        exp_sd = math.sqrt(sum((v - 1.5) ** 2 for v in range(4)) / 3)
+        assert out[0]["sd_v"] == round(exp_sd, 6)
+
+    def test_single_row_corpus_all_dead(self, spark):
+        from ts_pymfe_spark.operators.textpipe import emb_dim_stats
+        df = spark.createDataFrame([(1, [1.0, 2.0])],
+                                   "vec_id long, embedding array<float>")
+        out = emb_dim_stats(df).collect()
+        assert all(r["dead"] is True and r["sd_v"] is None for r in out)

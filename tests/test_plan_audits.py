@@ -455,3 +455,9 @@ def test_readability_is_shuffle_free(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     p = plan(TP.readability(docs))
     assert "Exchange" not in p, p
+
+
+def test_emb_dim_stats_single_exchange(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan(TP.emb_dim_stats(emb))
+    assert p.count("Exchange hashpartitioning") == 1, p

@@ -1653,3 +1653,45 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
                  F.count("*").cast("long").alias("n_distinct_chars"),
                  (F.round(-F.sum(p * F.log(p)), 6)
                   + F.lit(0.0)).alias("char_entropy_nats")))
+
+
+def emb_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension embedding health (late round 6): mean / sd / range
+    per coordinate over the corpus — the dead-dimension and collapsed-
+    scale detector an embedding pipeline checks before trusting
+    cosine distances (a dimension with sd ~ 0 contributes nothing; a
+    dimension 100x the others dominates every distance).
+
+    -> (dim, n, mean_v, sd_v, min_v, max_v, dead), dim 0-based,
+    dead = sd < 1e-6 (or n < 2).
+
+    Numerics: float32 coordinates widen to the same doubles on both
+    engines; sd is the TWO-PASS centered form on the 6-dp-rounded
+    per-dim mean window (the counters.burstiness pattern), so engine
+    summation order dies in the 6-dp round.
+
+    Scale shape: the explode is narrow (x dims); ONE exchange
+    partitions by dim — each of the (few) dimensions is a parallel
+    unit, and the mean window + final aggregation reuse it.
+    """
+    rows = (df.where(F.col(vec_col).isNotNull())
+            .select(F.posexplode(vec_col).alias("dim", "_v"))
+            .withColumn("_v", F.col("_v").cast("double")))
+    wd = Window.partitionBy("dim")
+    rows = rows.withColumn("_mu", F.round(F.avg("_v").over(wd), 6))
+    d = F.col("_v") - F.col("_mu")
+    agg = rows.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("_mu").alias("_mu"),
+        F.sum(d * d).alias("_ss"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"))
+    sd = F.sqrt(F.col("_ss") / (F.col("n") - 1).cast("double"))
+    ok = F.col("n") > 1
+    sd_r = F.round(F.when(ok, sd), 6) + F.lit(0.0)
+    return agg.select(
+        "dim", "n",
+        (F.col("_mu") + F.lit(0.0)).alias("mean_v"),
+        sd_r.alias("sd_v"),
+        "min_v", "max_v",
+        F.coalesce(sd_r < F.lit(1e-6), F.lit(True)).alias("dead"))
