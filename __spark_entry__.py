@@ -4370,6 +4370,66 @@ def q_emb_dim_stats(spark, sf_dir):
     return TP.emb_dim_stats(read(spark, sf_dir, "embeddings"))
 
 
+# binned (sketch-shaped) two-sample KS per event_type
+# (drift.ks_drift_binned), 256 cells over the pooled per-key range.
+@register(
+    "ks_drift_binned",
+    f"""
+    WITH v AS ({_DRIFT_V}),
+    b AS (
+      SELECT event_type, min(v) AS mn, max(v) AS mx
+      FROM v GROUP BY 1),
+    r AS (
+      SELECT v.event_type, v.g,
+             CASE WHEN b.mx > b.mn THEN
+               least(255, CAST(floor((v.v - b.mn)
+                                     / ((b.mx - b.mn) / 256.0)) AS INT))
+             END AS cell
+      FROM v JOIN b USING (event_type)),
+    cells AS (
+      SELECT event_type, cell,
+             sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS k0,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS k1
+      FROM r GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, cell,
+             sum(k0) OVER (PARTITION BY event_type ORDER BY cell
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c0,
+             sum(k1) OVER (PARTITION BY event_type ORDER BY cell
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c1,
+             sum(k0) OVER (PARTITION BY event_type) AS n0,
+             sum(k1) OVER (PARTITION BY event_type) AS n1
+      FROM cells),
+    a AS (
+      SELECT event_type, max(n0) AS n0, max(n1) AS n1,
+             max(CASE WHEN cell IS NULL THEN 1 ELSE 0 END) AS degen,
+             max(CASE WHEN cell IS NOT NULL THEN
+                   abs(CAST(c0 AS DOUBLE) / n0
+                       - CAST(c1 AS DOUBLE) / n1) END) AS d
+      FROM c GROUP BY 1)
+    SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(CASE WHEN n0 > 0 AND n1 > 0 AND degen = 0 THEN d END, 6)
+             + 0.0 AS ks_d,
+           round(CASE WHEN n0 > 0 AND n1 > 0 AND degen = 0 THEN
+                   1.358 * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                                / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+                 END, 6) + 0.0 AS ks_crit,
+           CASE WHEN n0 > 0 AND n1 > 0 AND degen = 0 THEN
+             d > 1.358 * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                              / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+           END AS drifted
+    FROM a
+    """,
+)
+def q_ks_drift_binned(spark, sf_dir):
+    from ts_pymfe_spark.operators.drift import ks_drift_binned
+
+    return ks_drift_binned(read(spark, sf_dir, "events"),
+                           grp=(F.col("user_id") % 2), bins=256)
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -4409,7 +4469,7 @@ _DRIVER_PRIORITY = [
     "tfidf_topk", "moving_median", "key_ols",
     "transition_entropy", "benford_deviation", "event_paths_topk",
     "daily_quantile_drift", "readability", "char_entropy",
-    "emb_dim_stats",
+    "emb_dim_stats", "ks_drift_binned",
     # green in the r5 driver window (50) — keep local strict coverage,
     # no new hard-signal row needed
     "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",

@@ -655,3 +655,35 @@ class TestEmbDimStats:
                                    "vec_id long, embedding array<float>")
         out = emb_dim_stats(df).collect()
         assert all(r["dead"] is True and r["sd_v"] is None for r in out)
+
+
+class TestKsBinned:
+    def test_lower_bounds_exact_and_converges(self, spark):
+        from ts_pymfe_spark.operators.drift import ks_drift_binned
+        rows = []
+        for k in ("a", "b"):
+            rows += [(k, float((i * 37 + ord(k)) % 211) / 3.0, i % 2)
+                     for i in range(600)]
+        rows += [("b", float(i) + 40.0, 1) for i in range(120)]  # shift
+        df = _pop(spark, rows)
+        exact = {r["event_type"]: r["ks_d"]
+                 for r in ks_drift(df, _grp()).collect()}
+        prev = {k: -1.0 for k in exact}
+        for B in (8, 64, 4096):
+            binned = {r["event_type"]: r["ks_d"]
+                      for r in ks_drift_binned(df, _grp(),
+                                               bins=B).collect()}
+            for k in exact:
+                assert binned[k] <= exact[k] + 1e-9, (k, B)
+                assert binned[k] >= prev[k] - 1e-9, (k, B)  # refines
+                prev[k] = binned[k]
+        # at 4096 cells over these value ranges the bins separate
+        # every distinct value -> binned == exact
+        for k in exact:
+            assert prev[k] == exact[k]
+
+    def test_degenerate_pooled_range_null(self, spark):
+        from ts_pymfe_spark.operators.drift import ks_drift_binned
+        rows = [("c", 7.0, g) for g in (0, 1) for _ in range(5)]
+        out = ks_drift_binned(_pop(spark, rows), _grp()).collect()[0]
+        assert out["ks_d"] is None  # documented degenerate convention

@@ -461,3 +461,16 @@ def test_emb_dim_stats_single_exchange(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     p = plan(TP.emb_dim_stats(emb))
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_ks_binned_cells_partial_aggregated_no_key_window_on_rows(spark):
+    """The sketch-shaped KS must shuffle (key, cell) CELLS after a
+    map-side partial — never raw rows through a per-key sort; bounds
+    arrive as one broadcast."""
+    from ts_pymfe_spark.operators.drift import ks_drift_binned
+
+    p = plan(ks_drift_binned(_events(spark), grp=F.col("user_id") % 2))
+    assert "partial_sum" in p, p
+    assert "BroadcastExchange" in p, p
+    # the only sort is the O(bins)-row cumulative ledger
+    assert p.count("Exchange hashpartitioning") <= 3, p

@@ -124,3 +124,5 @@ hot = (spark.range(10_000_000).select(
     F.pmod(F.xxhash64("id", F.lit(1)), F.lit(2)).alias("user_id")))
 timed("ks_hotkey_plain_10M", ks_drift(hot, grp))
 timed("ks_hotkey_bucketed64_10M", ks_drift(hot, grp, buckets=64))
+from ts_pymfe_spark.operators.drift import ks_drift_binned
+timed("ks_hotkey_binned256_10M", ks_drift_binned(hot, grp, bins=256))
