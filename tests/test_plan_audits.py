@@ -326,11 +326,19 @@ def test_ks_drift_single_exchange(spark):
     assert p.count("Exchange hashpartitioning") == 1, p
 
 
-def test_psi_drift_single_exchange(spark):
+def test_psi_drift_raw_rows_never_shuffled(spark):
+    """Baseline bounds broadcast; the (key, cell) histogram partial-
+    aggregates map-side — every exchange carries O(bins) cells, never
+    raw rows (late-round-6 hot-key rework)."""
     from ts_pymfe_spark.operators.drift import psi_drift
 
     p = plan(psi_drift(_events(spark), grp=F.col("user_id") % 2))
-    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "BroadcastExchange" in p, p
+    assert "partial_sum" in p, p
+    # three hash exchanges, every one ledger-sized after map-side
+    # partials: baseline bounds (O(keys)), (key, cell) histogram
+    # (O(bins)/key/task), cell window re-cluster (O(bins)/key)
+    assert p.count("Exchange hashpartitioning") <= 3, p
 
 
 def test_daily_drift_second_exchange_is_post_aggregate_only(spark):

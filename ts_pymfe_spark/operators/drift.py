@@ -180,19 +180,23 @@ def psi_drift(df: DataFrame, grp: Column, key: str = "event_type",
     floor of one IEEE division of identical doubles is identical on
     any engine, so the oracle reproduces every cell assignment.
 
-    Scale shape: ONE exchange — baseline min/max come back as
-    unbounded per-key windows; the (key, cell) and final per-key
-    aggregations both reuse the key partitioning (subset rule).
+    Scale shape: raw rows NEVER shuffle — baseline min/max come from a
+    tiny separate aggregate broadcast back onto the stream (a per-key
+    window would serialize a hot key's rows through one task — the
+    ks_drift(buckets=) lesson, applied here late round 6), and the
+    (key, cell) histogram partial-aggregates map-side, so every
+    exchange carries O(bins) cells per key per map task.
     """
     v = F.col(value_col).cast("double")
     rows = (df.where(v.isNotNull())
             .select(F.col(key), v.alias("_v"),
                     grp.cast("int").alias("_g")))
-    wk = Window.partitionBy(key)
-    base = F.when(F.col("_g") == 0, F.col("_v"))
-    staged = (rows
-              .withColumn("_mn", F.min(base).over(wk))
-              .withColumn("_mx", F.max(base).over(wk)))
+    bounds = (rows.where(F.col("_g") == 0)
+              .groupBy(key).agg(F.min("_v").alias("_mn"),
+                                F.max("_v").alias("_mx")))
+    # LEFT join: a key with no baseline rows must still emit its
+    # (NULL-psi, n0 = 0) row, exactly as the window form did
+    staged = rows.join(F.broadcast(bounds), key, "left")
     width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
     cell = F.least(
         F.lit(bins - 1),
