@@ -32,6 +32,24 @@ A vs B" are both just a different ``grp`` column.
 Numerics: counts are exact integers; every ratio is one IEEE-double
 division of exact integers, identical on any engine; outputs round to
 6 dp AFTER the final division (memory: float-compare rules).
+
+Per-key baseline strategy is a KEY-CARDINALITY trade, applied
+deliberately across the engine:
+
+* FEW FAT keys (event_type-scale domains — ks_drift/psi_drift/
+  ks_drift_binned defaults): per-key windows serialize a hot key's
+  rows through one task, while the baseline table is tiny — so
+  baselines come from a separate aggregate BROADCAST back, and raw
+  rows never shuffle.
+* MANY THIN keys (user_id-scale domains — counters.mad_anomaly,
+  trend.key_ols, burstiness): the baseline table is as big as the key
+  domain (unbroadcastable), while each key's row count is small — so
+  baselines come back as UNBOUNDED per-key windows over one exchange,
+  and the "serialization" is a per-key scan of a few hundred rows.
+
+An operator pointed at the wrong-shaped domain should switch pattern
+(or, for ordered statistics, use ks_drift(buckets=) / counters
+chunk_s).
 """
 
 from __future__ import annotations
