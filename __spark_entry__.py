@@ -4430,6 +4430,61 @@ def q_ks_drift_binned(spark, sf_dir):
                            grp=(F.col("user_id") % 2), bins=256)
 
 
+# KS verdicts from the mergeable drift-cell store shape
+# (drift.drift_cells + ks_from_cells), fixed bounds [0, 200) x 128.
+@register(
+    "drift_cells_ks",
+    f"""
+    WITH v AS ({_DRIFT_V}),
+    r AS (
+      SELECT event_type, g,
+             least(127, greatest(0,
+               CAST(floor((v - 0.0) / (200.0 / 128.0)) AS INT))) AS cell
+      FROM v),
+    cells AS (
+      SELECT event_type, cell,
+             sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS k0,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS k1
+      FROM r GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, cell,
+             sum(k0) OVER (PARTITION BY event_type ORDER BY cell
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c0,
+             sum(k1) OVER (PARTITION BY event_type ORDER BY cell
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c1,
+             sum(k0) OVER (PARTITION BY event_type) AS n0,
+             sum(k1) OVER (PARTITION BY event_type) AS n1
+      FROM cells),
+    a AS (
+      SELECT event_type, max(n0) AS n0, max(n1) AS n1,
+             max(abs(CAST(c0 AS DOUBLE) / n0
+                     - CAST(c1 AS DOUBLE) / n1)) AS d
+      FROM c GROUP BY 1)
+    SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(CASE WHEN n0 > 0 AND n1 > 0 THEN d END, 6) + 0.0 AS ks_d,
+           round(CASE WHEN n0 > 0 AND n1 > 0 THEN
+                   1.358 * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                                / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+                 END, 6) + 0.0 AS ks_crit,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+             d > 1.358 * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                              / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+           END AS drifted
+    FROM a
+    """,
+)
+def q_drift_cells_ks(spark, sf_dir):
+    from ts_pymfe_spark.operators.drift import drift_cells, ks_from_cells
+
+    ev = read(spark, sf_dir, "events")
+    b = (ev.select("event_type").distinct()
+         .withColumn("lo", F.lit(0.0)).withColumn("hi", F.lit(200.0)))
+    cells = drift_cells(ev, F.col("user_id") % 2, b, bins=128)
+    return ks_from_cells(cells)
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -4469,7 +4524,7 @@ _DRIVER_PRIORITY = [
     "tfidf_topk", "moving_median", "key_ols",
     "transition_entropy", "benford_deviation", "event_paths_topk",
     "daily_quantile_drift", "readability", "char_entropy",
-    "emb_dim_stats", "ks_drift_binned",
+    "emb_dim_stats", "ks_drift_binned", "drift_cells_ks",
     # green in the r5 driver window (50) — keep local strict coverage,
     # no new hard-signal row needed
     "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",

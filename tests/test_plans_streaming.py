@@ -1080,3 +1080,44 @@ def test_streaming_daily_health_matches_batch(spark, tmp_path):
     import os
     assert len([d for d in os.listdir(store)
                 if d.startswith("batch=")]) >= 2
+
+
+def test_streaming_drift_cells_match_batch(spark, tmp_path):
+    """Streamed drift-cell partials (fixed bounds), sum-merged on
+    read, equal the batch cells exactly (integer counts), so the
+    KS/PSI verdicts from the store match the batch screens."""
+    from ts_pymfe_spark.operators.drift import (drift_cells,
+                                                ks_from_cells,
+                                                psi_from_cells)
+    from ts_pymfe_spark.streaming.rollup_stream import (
+        read_drift_cells,
+        run_drift_cells_to_store,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "dc_in")
+    store = str(tmp_path / "dc_store")
+    ckpt = str(tmp_path / "dc_ckpt")
+    ev.repartition(16).write.mode("overwrite").parquet(in_dir)
+
+    bounds = {t: (0.0, 100.0) for t in
+              ("view", "click", "purchase", "signup", "error")}
+    run_drift_cells_to_store(spark, in_dir, store, ckpt, bounds,
+                             bins=64)
+    got = read_drift_cells(spark, store)
+    bdf = spark.createDataFrame(
+        [(k, lo, hi) for k, (lo, hi) in bounds.items()],
+        "event_type string, lo double, hi double")
+    exp = drift_cells(spark.read.parquet(in_dir),
+                      F.col("user_id") % 2, bdf, bins=64)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+    gk = sorted(map(tuple, ks_from_cells(got).collect()))
+    ek = sorted(map(tuple, ks_from_cells(exp).collect()))
+    assert gk == ek
+    gp = sorted(map(tuple, psi_from_cells(got).collect()))
+    ep = sorted(map(tuple, psi_from_cells(exp).collect()))
+    assert gp == ep
+    import os
+    assert len([d for d in os.listdir(store)
+                if d.startswith("batch=")]) >= 2

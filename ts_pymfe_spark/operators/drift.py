@@ -543,3 +543,120 @@ def ks_drift_binned(df: DataFrame, grp: Column, key: str = "event_type",
         (F.round(F.when(ok, F.col("_d")), 6) + F.lit(0.0)).alias("ks_d"),
         (F.round(F.when(ok, crit), 6) + F.lit(0.0)).alias("ks_crit"),
         F.when(ok, F.col("_d") > crit).alias("drifted"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable drift cells (late round 6): the streaming-drift store.
+# ---------------------------------------------------------------------------
+
+def drift_cells(df: DataFrame, grp: Column, bounds: DataFrame,
+                key: str = "event_type", value_col: str = "value",
+                bins: int = 256) -> DataFrame:
+    """Sum-mergeable two-population histogram cells over FIXED bounds:
+    (key, cell, k0, k1) — the storable/streamable form of the binned
+    drift screens.  ``bounds`` is a tiny (key, lo, hi) relation — the
+    baseline contract pinned once (reference week, config table) so
+    partials from ANY row subset merge by summing k0/k1; per-batch
+    pooled bounds would make batches incomparable.
+
+    Out-of-range values clamp into the edge cells (shifted mass is
+    exactly what drift must see); keys absent from ``bounds`` or with
+    lo >= hi emit cell NULL (degenerate, surfaced by the reducers).
+
+    Scale shape: bounds broadcast; the (key, cell) count
+    partial-aggregates map-side — O(bins) cells per key per map task,
+    raw rows never shuffle.
+    """
+    v = F.col(value_col).cast("double")
+    rows = (df.where(v.isNotNull())
+            .select(F.col(key), v.alias("_v"),
+                    grp.cast("int").alias("_g")))
+    b = bounds.select(F.col(key), F.col("lo").cast("double").alias("_lo"),
+                      F.col("hi").cast("double").alias("_hi"))
+    r = rows.join(F.broadcast(b), key, "left")
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    cell = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.least(F.lit(bins - 1),
+                F.greatest(F.lit(0),
+                           F.floor((F.col("_v") - F.col("_lo")) / width)
+                           .cast("int"))))
+    return (r.withColumn("_cell", cell)
+            .groupBy(key, "_cell")
+            .agg(F.sum(F.when(F.col("_g") == 0, 1).otherwise(0))
+                 .alias("k0"),
+                 F.sum(F.when(F.col("_g") == 1, 1).otherwise(0))
+                 .alias("k1"))
+            .withColumnRenamed("_cell", "cell"))
+
+
+def drift_cells_merge(*cells: DataFrame) -> DataFrame:
+    """Sum-merge cell tables built with the same bounds/bins."""
+    out = cells[0]
+    for c in cells[1:]:
+        out = out.unionByName(c)
+    keys = [c for c in out.columns if c not in ("cell", "k0", "k1")]
+    return out.groupBy(*keys, "cell").agg(
+        F.sum("k0").alias("k0"), F.sum("k1").alias("k1"))
+
+
+def ks_from_cells(cells: DataFrame, key: str = "event_type") -> DataFrame:
+    """Binned two-sample KS verdicts from a (merged) cell table —
+    identical output schema and semantics to ``ks_drift_binned`` given
+    the same cells.  All arithmetic over the O(bins) ledger."""
+    wcum = (Window.partitionBy(key).orderBy("cell")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wk = Window.partitionBy(key)
+    staged = (cells
+              .withColumn("_c0", F.sum("k0").over(wcum))
+              .withColumn("_c1", F.sum("k1").over(wcum))
+              .withColumn("_n0", F.sum("k0").over(wk))
+              .withColumn("_n1", F.sum("k1").over(wk)))
+    gap = F.when(
+        F.col("cell").isNotNull(),
+        F.abs(F.try_divide(F.col("_c0"), F.col("_n0"))
+              - F.try_divide(F.col("_c1"), F.col("_n1"))))
+    agg = staged.groupBy(key).agg(
+        F.max("_n0").alias("_n0"), F.max("_n1").alias("_n1"),
+        F.max(F.col("cell").isNull().cast("int")).alias("_degen"),
+        F.max(gap).alias("_d"))
+    ok = ((F.col("_n0") > 0) & (F.col("_n1") > 0)
+          & (F.col("_degen") == 0))
+    n0d, n1d = F.col("_n0").cast("double"), F.col("_n1").cast("double")
+    crit = F.lit(KS_C_5PCT) * F.sqrt((n0d + n1d) / (n0d * n1d))
+    return agg.select(
+        F.col(key),
+        F.col("_n0").cast("long").alias("n0"),
+        F.col("_n1").cast("long").alias("n1"),
+        (F.round(F.when(ok, F.col("_d")), 6) + F.lit(0.0)).alias("ks_d"),
+        (F.round(F.when(ok, crit), 6) + F.lit(0.0)).alias("ks_crit"),
+        F.when(ok, F.col("_d") > crit).alias("drifted"))
+
+
+def psi_from_cells(cells: DataFrame, key: str = "event_type",
+                   eps: float = 1e-6) -> DataFrame:
+    """PSI verdicts from a (merged) cell table — psi_drift's
+    reduction over stored cells (fixed-bounds binning instead of
+    baseline-anchored, the streaming-compatible convention)."""
+    wk = Window.partitionBy(key)
+    tot = (cells
+           .withColumn("_n0", F.sum("k0").over(wk))
+           .withColumn("_n1", F.sum("k1").over(wk)))
+    p0 = F.greatest(F.try_divide(F.col("k0"), F.col("_n0")),
+                    F.lit(float(eps)))
+    p1 = F.greatest(F.try_divide(F.col("k1"), F.col("_n1")),
+                    F.lit(float(eps)))
+    term = F.when(F.col("cell").isNotNull()
+                  & ((F.col("k0") > 0) | (F.col("k1") > 0)),
+                  (p1 - p0) * F.log(p1 / p0)).otherwise(F.lit(0.0))
+    agg = tot.groupBy(key).agg(
+        F.max("_n0").alias("_n0"), F.max("_n1").alias("_n1"),
+        F.max(F.col("cell").isNull().cast("int")).alias("_degen"),
+        F.sum(term).alias("_psi"))
+    ok = ((F.col("_n0") > 0) & (F.col("_n1") > 0)
+          & (F.col("_degen") == 0))
+    return agg.select(
+        F.col(key),
+        F.col("_n0").cast("long").alias("n0"),
+        F.col("_n1").cast("long").alias("n1"),
+        (F.round(F.when(ok, F.col("_psi")), 6) + F.lit(0.0)).alias("psi"))

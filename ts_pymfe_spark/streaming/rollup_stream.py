@@ -538,3 +538,49 @@ def read_daily_health(spark: SparkSession, store_dir: str) -> DataFrame:
 
     return daily_health_from_partials(
         spark.read.parquet(store_dir).drop("batch"))
+
+
+def run_drift_cells_to_store(spark: SparkSession, input_dir: str,
+                             store_dir: str, checkpoint_dir: str,
+                             bounds: dict, grp_col: str = "user_id",
+                             key: str = "event_type",
+                             value_col: str = "value", bins: int = 256,
+                             max_files_per_trigger: int = 8) -> None:
+    """availableNow streaming job: per-batch two-population drift
+    cells (drift.drift_cells — FIXED bounds so batches sum-merge)
+    appended under ``store_dir``.  ``bounds`` maps key -> (lo, hi):
+    the pinned baseline contract.  Merge-on-read via
+    ``read_drift_cells`` feeds ``ks_from_cells``/``psi_from_cells`` —
+    a continuously maintained drift monitor that never re-scans
+    events."""
+    from pyspark.sql import functions as SF
+
+    from ts_pymfe_spark.operators.drift import drift_cells
+
+    schema = spark.read.parquet(input_dir).schema
+    bdf = spark.createDataFrame(
+        [(k, float(lo), float(hi)) for k, (lo, hi) in bounds.items()],
+        f"{key} string, lo double, hi double")
+
+    def cells_batch(batch: DataFrame, batch_id: int) -> None:
+        c = drift_cells(batch, SF.col(grp_col) % 2, bdf, key=key,
+                        value_col=value_col, bins=bins)
+        c.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(cells_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_drift_cells(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge-on-read of streamed drift cells (sum per (key, cell))."""
+    from ts_pymfe_spark.operators.drift import drift_cells_merge
+
+    return drift_cells_merge(spark.read.parquet(store_dir).drop("batch"))
