@@ -140,6 +140,10 @@ def run_headline(spark) -> dict[str, float]:
         # late round-6 additions: drift screens, count-min heavy
         # hitters, tf-idf characteristic vocabulary
         "ks_drift", "psi_drift", "cms_topk_users", "tfidf_topk",
+        # latest round-6 wave: sketch-shaped KS, digit screen, Markov
+        # predictability, behavioral paths, char-distribution screen
+        "ks_drift_binned", "benford_deviation", "transition_entropy",
+        "event_paths_topk", "char_entropy",
     ]
     qs = E.queries()
     # Untimed warm-up: the first query otherwise absorbs session JIT +
