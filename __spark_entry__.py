@@ -4485,6 +4485,69 @@ def q_drift_cells_ks(spark, sf_dir):
     return ks_from_cells(cells)
 
 
+# day-over-day distribution KS from O(days x bins) histogram cells
+# (drift.daily_dist_drift), fixed [0, 200) x 128 bounds.
+@register(
+    "daily_dist_drift",
+    """
+    WITH cells AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             least(127, greatest(0,
+               CAST(floor((CAST(value AS DOUBLE) - 0.0)
+                          / (200.0 / 128.0)) AS INT))) AS cell,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    cum AS (
+      SELECT day, cell,
+             sum(c) OVER (PARTITION BY day ORDER BY cell
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cm,
+             sum(c) OVER (PARTITION BY day) AS n
+      FROM cells),
+    j AS (
+      SELECT coalesce(cur.day, prv.day) AS day,
+             coalesce(cur.cell, prv.cell) AS cell,
+             cur.cm AS ccur, cur.n AS ncur,
+             prv.cm AS cprv, prv.n AS nprv
+      FROM cum cur
+      FULL OUTER JOIN
+        (SELECT day + CAST(1 AS INT) AS day, cell, cm, n FROM cum) prv
+      USING (day, cell)),
+    f AS (
+      SELECT day,
+             last_value(ccur IGNORE NULLS) OVER
+               (PARTITION BY day ORDER BY cell
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccur,
+             last_value(cprv IGNORE NULLS) OVER
+               (PARTITION BY day ORDER BY cell
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cprv,
+             max(ncur) OVER (PARTITION BY day) AS ncur,
+             max(nprv) OVER (PARTITION BY day) AS nprv
+      FROM j),
+    a AS (
+      SELECT day, max(nprv) AS np, max(ncur) AS nc,
+             max(abs(coalesce(CAST(ccur AS DOUBLE) / ncur, 0.0)
+                     - coalesce(CAST(cprv AS DOUBLE) / nprv, 0.0))) AS d
+      FROM f GROUP BY 1
+      HAVING max(nprv) IS NOT NULL AND max(ncur) IS NOT NULL)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(np AS BIGINT) AS n_prev, CAST(nc AS BIGINT) AS n_cur,
+           round(d, 6) + 0.0 AS ks_d,
+           round(1.358 * sqrt((CAST(np AS DOUBLE) + CAST(nc AS DOUBLE))
+                              / (CAST(np AS DOUBLE) * CAST(nc AS DOUBLE))),
+                 6) + 0.0 AS ks_crit,
+           d > 1.358 * sqrt((CAST(np AS DOUBLE) + CAST(nc AS DOUBLE))
+                            / (CAST(np AS DOUBLE) * CAST(nc AS DOUBLE)))
+             AS drifted
+    FROM a
+    """,
+)
+def q_daily_dist_drift(spark, sf_dir):
+    from ts_pymfe_spark.operators.drift import daily_dist_drift
+
+    return daily_dist_drift(read(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -4525,6 +4588,7 @@ _DRIVER_PRIORITY = [
     "transition_entropy", "benford_deviation", "event_paths_topk",
     "daily_quantile_drift", "readability", "char_entropy",
     "emb_dim_stats", "ks_drift_binned", "drift_cells_ks",
+    "daily_dist_drift",
     # green in the r5 driver window (50) — keep local strict coverage,
     # no new hard-signal row needed
     "rollup_1m", "rollup_1h_cascade", "tier_stats_1d", "moving_avg",

@@ -687,3 +687,42 @@ class TestKsBinned:
         rows = [("c", 7.0, g) for g in (0, 1) for _ in range(5)]
         out = ks_drift_binned(_pop(spark, rows), _grp()).collect()[0]
         assert out["ks_d"] is None  # documented degenerate convention
+
+
+class TestDailyDistDrift:
+    def _days(self, spark, day_vals):
+        rows = [(f"2025-01-0{d} 06:00:00", float(v))
+                for d, vals in day_vals.items() for v in vals]
+        return spark.createDataFrame(rows, "ts string, value double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+
+    def test_identical_days_zero_shifted_day_flagged(self, spark):
+        from ts_pymfe_spark.operators.drift import daily_dist_drift
+        base = [v % 50 for v in range(200)]
+        df = self._days(spark, {1: base, 2: base,
+                                3: [v + 120 for v in base]})
+        out = {r["day"]: r for r in
+               daily_dist_drift(df, lo=0.0, hi=200.0).collect()}
+        assert "2025-01-01" not in out          # no predecessor
+        assert out["2025-01-02"]["ks_d"] == 0.0
+        assert out["2025-01-02"]["drifted"] is False
+        assert out["2025-01-03"]["ks_d"] == 1.0  # disjoint supports
+        assert out["2025-01-03"]["drifted"] is True
+        assert (out["2025-01-03"]["n_prev"],
+                out["2025-01-03"]["n_cur"]) == (200, 200)
+
+    def test_partial_shift_hand_value(self, spark):
+        from ts_pymfe_spark.operators.drift import daily_dist_drift
+        # day1 uniform 0..99; day2: half below 100, half at 150+
+        d1 = list(range(100))
+        d2 = list(range(50)) + [150 + v for v in range(50)]
+        out = daily_dist_drift(self._days(spark, {1: d1, 2: d2}),
+                               lo=0.0, hi=200.0).collect()[0]
+        # at x->100: F1 = 1.0, F2 = 0.5
+        assert out["ks_d"] == 0.5
+
+    def test_missing_day_breaks_the_chain(self, spark):
+        from ts_pymfe_spark.operators.drift import daily_dist_drift
+        df = self._days(spark, {1: [1.0, 2.0], 3: [1.0, 2.0]})
+        out = daily_dist_drift(df).collect()
+        assert out == []  # day 3's literal predecessor (day 2) absent

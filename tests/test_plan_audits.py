@@ -482,3 +482,14 @@ def test_ks_binned_cells_partial_aggregated_no_key_window_on_rows(spark):
     assert "BroadcastExchange" in p, p
     # the only sort is the O(bins)-row cumulative ledger
     assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_daily_dist_drift_cells_only(spark):
+    """Raw rows never shuffle: the (day, cell) histogram partial-
+    aggregates map-side; every later exchange and the self-pairing
+    join run over the O(days x bins) ledger."""
+    from ts_pymfe_spark.operators.drift import daily_dist_drift
+
+    p = plan(daily_dist_drift(_events(spark)))
+    assert "partial_count" in p, p
+    assert "ReadSchema: struct<ts:timestamp_ntz,value:double>" in p, p

@@ -1694,7 +1694,7 @@ def test_every_query_has_matching_oracle():
 
     q, o = e.queries(), e.oracle_sql()
     assert set(q) == set(o)
-    assert len(q) >= 116
+    assert len(q) >= 117
     assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
 
 

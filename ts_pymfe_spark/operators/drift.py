@@ -660,3 +660,72 @@ def psi_from_cells(cells: DataFrame, key: str = "event_type",
         F.col("_n0").cast("long").alias("n0"),
         F.col("_n1").cast("long").alias("n1"),
         (F.round(F.when(ok, F.col("_psi")), 6) + F.lit(0.0)).alias("psi"))
+
+
+def daily_dist_drift(df: DataFrame, ts_col: str = "ts",
+                     value_col: str = "value", lo: float = 0.0,
+                     hi: float = 200.0, bins: int = 128) -> DataFrame:
+    """Day-over-day distribution drift (late round 6): binned
+    two-sample KS between each day and its literal predecessor — the
+    "did today's distribution shift vs yesterday" monitor, run from
+    O(days x bins) histogram cells instead of raw re-scans (the same
+    cell economics as drift_cells; fixed [lo, hi) bounds keep days
+    comparable, out-of-range mass clamps into the edge cells).
+
+    -> (day, n_prev, n_cur, ks_d, ks_crit, drifted), one row per day
+    whose predecessor day is present.
+
+    Scale shape: the (day, cell) histogram partial-aggregates
+    map-side (raw rows never shuffle); the self-pairing joins the
+    O(days x bins) cell ledger to itself via a date_add shift — both
+    sides tiny, the hll_overlap pattern.
+    """
+    v = F.col(value_col).cast("double")
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    width = (hi - lo) / float(bins)
+    cell = F.least(F.lit(bins - 1),
+                   F.greatest(F.lit(0),
+                              F.floor((v - F.lit(float(lo)))
+                                      / F.lit(width)).cast("int")))
+    cells = (df.where(v.isNotNull())
+             .select(day.alias("_day"), cell.alias("_cell"))
+             .groupBy("_day", "_cell").agg(F.count("*").alias("_c")))
+    wcum = (Window.partitionBy("_day").orderBy("_cell")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wd = Window.partitionBy("_day")
+    cum = (cells
+           .withColumn("_cum", F.sum("_c").over(wcum))
+           .withColumn("_n", F.sum("_c").over(wd)))
+    cur = cum.select(F.col("_day").alias("day"), "_cell",
+                     F.col("_cum").alias("_ccur"),
+                     F.col("_n").alias("_ncur"))
+    prv = cum.select(F.date_add("_day", 1).alias("day"), "_cell",
+                     F.col("_cum").alias("_cprv"),
+                     F.col("_n").alias("_nprv"))
+    # full outer per cell: a cell present on one day only still moves
+    # the ECDF gap; its missing cum is the day's running count at that
+    # cell, recovered by a forward fill over cells
+    j = cur.join(prv, ["day", "_cell"], "full")
+    wfill = (Window.partitionBy("day").orderBy("_cell")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    j = (j.withColumn("_ccur", F.last("_ccur", True).over(wfill))
+         .withColumn("_cprv", F.last("_cprv", True).over(wfill))
+         .withColumn("_ncur", F.max("_ncur").over(Window.partitionBy("day")))
+         .withColumn("_nprv", F.max("_nprv").over(Window.partitionBy("day"))))
+    gap = F.abs(F.coalesce(F.try_divide(F.col("_ccur"), F.col("_ncur")),
+                           F.lit(0.0))
+                - F.coalesce(F.try_divide(F.col("_cprv"), F.col("_nprv")),
+                             F.lit(0.0)))
+    agg = (j.groupBy("day")
+           .agg(F.max("_nprv").alias("_np"), F.max("_ncur").alias("_nc"),
+                F.max(gap).alias("_d"))
+           .where(F.col("_np").isNotNull() & F.col("_nc").isNotNull()))
+    npd, ncd = F.col("_np").cast("double"), F.col("_nc").cast("double")
+    crit = F.lit(KS_C_5PCT) * F.sqrt((npd + ncd) / (npd * ncd))
+    return agg.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("_np").cast("long").alias("n_prev"),
+        F.col("_nc").cast("long").alias("n_cur"),
+        (F.round(F.col("_d"), 6) + F.lit(0.0)).alias("ks_d"),
+        (F.round(crit, 6) + F.lit(0.0)).alias("ks_crit"),
+        (F.col("_d") > crit).alias("drifted"))
