@@ -158,9 +158,12 @@ def run_headline(spark) -> dict[str, float]:
     for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
-        n = df.count()
+        # noop writer: materializes EVERY output column.  count() let
+        # Catalyst prune aggregate values and eliminate whole window
+        # stages (measured 1.2-2.3x under-reads on ks/mad/cusum,
+        # round 6) — timings before round 6 used the count basis.
+        df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
     return times
 
 
@@ -194,9 +197,15 @@ def cascade_job(spark, turns_path: str) -> None:
     par = spark.sparkContext.defaultParallelism * 4
     series = derive_series(turns, partition_by=("conv_id",), partitions=par)
     tiers = build_all_tiers(series, salted=False, persist=True)
+    # Force EVERY output column (round 6): a sum over one moment
+    # column lets Catalyst prune the other 11 state fields' arithmetic
+    # (~8% of the wall, measured) — the full-row hash keeps the job
+    # honest while remaining ONE action.  (cast: ANSI sum(bigint)
+    # overflows on hash values.)
     checks = [
-        df.agg(F.sum("s1").alias("s1"), F.count("*").alias("n"))
-        .select(F.lit(t).alias("tier"), "s1", "n")
+        df.agg(F.sum(F.xxhash64(F.struct(*df.columns)).cast("double"))
+               .alias("h"))
+        .select(F.lit(t).alias("tier"), "h")
         for t, df in tiers.items()
     ]
     reduce(lambda a, b: a.unionByName(b), checks).collect()
@@ -549,9 +558,9 @@ def main() -> None:
     import __spark_entry__ as E
 
     q_extract = E.queries()["tsmfe_extract"]
-    q_extract(spark, "/root/testdata/sf0.001").count()
+    q_extract(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
-    q_extract(spark, SF_DIR).count()
+    q_extract(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     queries["extract_wall"] = round(time.perf_counter() - t0, 3)
     spark.stop()
     emit(headline_sec, queries)

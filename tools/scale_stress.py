@@ -28,9 +28,14 @@ from ts_pymfe_spark.operators.counters import time_weighted_avg, burst_stats
 from ts_pymfe_spark.operators.histogram import histogram_quantiles
 
 def timed(name, df):
+    # noop writer: count() lets Catalyst prune aggregate values and
+    # eliminate whole window stages (round-6 finding) — the wall must
+    # cover EVERY output column.  Row count reported from an untimed
+    # second pass.
     t0 = time.perf_counter()
-    n = df.count()
-    print(f"STRESS {name}: {time.perf_counter()-t0:.2f}s out_rows={n}")
+    df.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    print(f"STRESS {name}: {wall:.2f}s out_rows={df.count()}")
 
 day = ev.select(F.to_date("ts").alias("day"), "user_id", "ts", "event_type", "value", "event_id")
 timed("hll_daily_10M", hll_estimate(hll_sketch(day, ["day"], "user_id"), ["day"]))
