@@ -28,7 +28,7 @@ from ts_pymfe_spark.operators import textpipe as TP
 from ts_pymfe_spark.operators.asof import (asof_join, asof_lag_seconds,
                                            window_join)
 from ts_pymfe_spark.operators.counters import counter_rate
-from ts_pymfe_spark.operators.gapfill import gapfill
+from ts_pymfe_spark.operators.gapfill import gapfill_agg
 from ts_pymfe_spark.operators.rollup import cascade, rollup_raw
 from ts_pymfe_spark.sources.testdata import events_series, read
 
@@ -1070,6 +1070,10 @@ def q_dw_stat(spark, sf_dir):
     """,
 )
 def q_gapfill_1m(spark, sf_dir):
+    # Fill-aware aggregation (round 7): value-equal to aggregating
+    # gapfill(...) output, but computed from the O(observed) bucket
+    # rows — the 62.9M-row generated grid existed only to be summed
+    # (gapfill.gapfill_agg docstring for the closed form).
     b = (
         _series(spark, sf_dir)
         .groupBy(
@@ -1078,11 +1082,12 @@ def q_gapfill_1m(spark, sf_dir):
         .agg(F.sum("value").alias("v"))
         .withColumn("series", F.lit("value"))
     )
-    g = gapfill(b, 60, "v", method="interp")
-    return g.groupBy("conv_id").agg(
-        F.count("*").alias("n_buckets"),
-        F.sum(F.col("is_gap").cast("long")).alias("n_gaps"),
-        (r(F.sum("value"), 3) + F.lit(0.0)).alias("total"),
+    g = gapfill_agg(b, 60, "v", method="interp")
+    return g.select(
+        "conv_id",
+        "n_buckets",
+        "n_gaps",
+        (r(F.col("total"), 3) + F.lit(0.0)).alias("total"),
     )
 
 

@@ -199,3 +199,69 @@ def test_gapfill_interp_and_locf(spark):
     assert got["is_gap"].tolist() == [False, True, True, False, False]
     locf = gapfill(df, 60, "v", method="locf").orderBy("bucket_start").toPandas()
     assert locf["value"].tolist() == [1.0, 1.0, 1.0, 7.0, 4.0]
+
+
+def test_gapfill_agg_equals_aggregate_over_gapfill(spark):
+    """Round-7 fill-aware aggregation: gapfill_agg must be value-equal
+    to generating the grid with gapfill() and aggregating it — hand
+    case first, then a seeded multi-key series with irregular gaps."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ts_pymfe_spark.operators.gapfill import gapfill_agg
+
+    def grid_agg(df):
+        return (
+            gapfill(df, 60, "v", method="interp")
+            .groupBy("conv_id", "series")
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.sum(F.col("is_gap").cast("long")).alias("n_gaps"),
+                F.sum("value").alias("total"),
+            )
+        )
+
+    def closed(df):
+        return gapfill_agg(df, 60, "v", method="interp")
+
+    def compare(df):
+        a = {
+            (r["conv_id"], r["series"]): r
+            for r in grid_agg(df).collect()
+        }
+        b = {
+            (r["conv_id"], r["series"]): r
+            for r in closed(df).collect()
+        }
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k]["n_buckets"] == b[k]["n_buckets"], k
+            assert a[k]["n_gaps"] == b[k]["n_gaps"], k
+            assert abs(a[k]["total"] - b[k]["total"]) <= 1e-9 * max(
+                1.0, abs(a[k]["total"])
+            ), k
+
+    rows = [
+        ("c1", "s", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+        ("c1", "s", dt.datetime(2024, 1, 1, 0, 3), 7.0),
+        ("c1", "s", dt.datetime(2024, 1, 1, 0, 4), 4.0),
+    ]
+    schema = ("conv_id string, series string, bucket_start timestamp, "
+              "v double")
+    compare(spark.createDataFrame(rows, schema))
+
+    rng = random.Random(7)
+    rows = []
+    for conv in ("a", "b", "c"):
+        t = dt.datetime(2024, 1, 1)
+        for _ in range(40):
+            t += dt.timedelta(minutes=rng.randint(1, 9))
+            rows.append((conv, "s", t, rng.uniform(-5, 5)))
+    compare(spark.createDataFrame(rows, schema))
+
+    # degenerate: single observation per key (no gaps, no lag pair)
+    one = [("z", "s", dt.datetime(2024, 1, 1), 3.25)]
+    out = closed(spark.createDataFrame(one, schema)).collect()[0]
+    assert (out["n_buckets"], out["n_gaps"], out["total"]) == (1, 0, 3.25)

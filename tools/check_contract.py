@@ -8,6 +8,7 @@ Usage: python tools/check_contract.py [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -18,7 +19,7 @@ import __spark_entry__ as entry_mod
 from ts_pymfe_spark.session import get_spark
 from ts_pymfe_spark.sources.testdata import TABLES
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def norm_cell(v):

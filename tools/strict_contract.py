@@ -16,6 +16,7 @@ Usage: python tools/strict_contract.py [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -27,7 +28,7 @@ import __spark_entry__ as entry_mod
 from ts_pymfe_spark.session import get_spark
 from ts_pymfe_spark.sources.testdata import TABLES
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def cell_key(v):

@@ -101,3 +101,50 @@ def gapfill(buckets: DataFrame, step_seconds: int, value: str = "v",
         filled.alias("value"),
         F.col("_obs").isNull().alias("is_gap"),
     )
+
+
+def gapfill_agg(buckets: DataFrame, step_seconds: int,
+                value: str = "v", method: str = "interp") -> DataFrame:
+    """Fill-aware aggregation: per-key totals over the *filled* grid,
+    computed from the O(sparse) observed rows without generating it.
+
+    Value-equal to ``gapfill(...)`` followed by::
+
+        .groupBy(*KEY).agg(count(*), sum(is_gap), sum(value))
+
+    but O(observed) instead of O(span/step) — the grid only exists to
+    be summed, and the linear interpolation over a gap of ``m`` missing
+    buckets between observations ``(v0, v1)`` has the closed form
+    ``sum_{k=1..m} v0 + (v1-v0)*k/(m+1) = m*(v0+v1)/2`` (trapezoid).
+    The grid spans [min_bucket, max_bucket] of the *observed* rows, so
+    every gap is interior (bracketed) and the LOCF tail never fires.
+
+    Returns (conv_id, series, n_buckets, n_gaps, total) with ``total``
+    the un-rounded double sum of filled values.
+    """
+    if method != "interp":
+        raise ValueError(method)
+    w = Window.partitionBy(*KEY).orderBy("bucket_start")
+    d = (
+        buckets.select(*KEY, "bucket_start", F.col(value).alias("_v"))
+        .withColumn("_t", F.unix_timestamp("bucket_start"))
+        .withColumn("_pt", F.lag("_t").over(w))
+        .withColumn("_pv", F.lag("_v").over(w))
+    )
+    # missing buckets between this observation and the previous one
+    m = (F.col("_t") - F.col("_pt")) / F.lit(step_seconds) - 1
+    contrib = F.col("_v") + F.coalesce(
+        m * (F.col("_pv") + F.col("_v")) / F.lit(2.0), F.lit(0.0)
+    )
+    # The groupBy keys equal the window partition keys, so the final
+    # aggregation reuses the window's hash partitioning — no second
+    # exchange (guide §2.4).
+    return d.groupBy(*KEY).agg(
+        ((F.max("_t") - F.min("_t")) / F.lit(step_seconds) + 1)
+        .cast("long").alias("n_buckets"),
+        (
+            (F.max("_t") - F.min("_t")) / F.lit(step_seconds) + 1
+            - F.count("*")
+        ).cast("long").alias("n_gaps"),
+        F.sum(contrib).alias("total"),
+    )
