@@ -4585,9 +4585,10 @@ _DRIVER_PRIORITY = [
     # round-6 additions — never driver-checked, slots 43-50
     "interval_union", "seasonal_anomaly", "paa_sax", "session_stats",
     "cusum_changepoint", "rolling_slope", "burstiness", "mad_anomaly",
-    # late round-6 additions, slots 51-56: deliberately OUTSIDE this
-    # round's ~50-query driver window (displacing any of the above
-    # would leave it unchecked); rotate these to the front in round 7.
+    # late round-6 additions (17 names, slots 51-67): deliberately
+    # OUTSIDE the round-6 ~50-query driver window (displacing any of
+    # the above would leave it unchecked); the auto-rotation promotes
+    # them to the front of the round-7 window.
     "ks_drift", "psi_drift", "daily_drift", "cms_topk_users",
     "tfidf_topk", "moving_median", "key_ols",
     "transition_entropy", "benford_deviation", "event_paths_topk",

@@ -27,15 +27,18 @@ def optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
-def test_extract_is_exactly_two_shuffles(spark, turns):
-    """The flagship extract = kernel stage + summary stage — two
-    groupBy(applyInPandas) exchanges, nothing else (no global sort:
-    round 1's orderBy would show a rangepartitioning Exchange here)."""
+def test_extract_is_exactly_one_shuffle(spark, turns):
+    """The flagship extract = ONE fused kernel+summary Arrow stage
+    (round 7): a single groupBy(applyInPandas) exchange and a single
+    Python boundary, nothing else (no global sort: round 1's orderBy
+    would show a rangepartitioning Exchange here; rounds 1-6 carried a
+    second exchange + grouped-map pass for the summary stage)."""
     from ts_pymfe_spark.api import TSMFESpark
 
     eng = TSMFESpark(features=["dw", "acf"], summaries=("mean",))
     p = plan(eng.extract(derive_series(turns)))
-    assert p.count("Exchange hashpartitioning") == 2
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("FlatMapGroupsInPandas") == 1
     assert "rangepartitioning" not in p  # the dropped global orderBy
 
 

@@ -417,3 +417,31 @@ def test_mad_anomaly_hand_case(spark):
     assert (got[1]["med"], got[1]["mad"]) == (5.5, 2.5)
     assert (got[1]["n_events"], got[1]["n_anomalies"]) == (10, 1)
     assert (got[2]["mad"], got[2]["n_anomalies"]) == (0.0, 0)
+
+
+def test_cusum_tiny_spread_no_ansi_divide_by_zero(spark):
+    """Round-7 guard (round-6 ADVICE high): a near-constant series
+    whose true sd is positive but rounds to 0.0 at 6 decimals must
+    take the NULL-stat path, not die with ANSI DIVIDE_BY_ZERO."""
+    from ts_pymfe_spark.operators.trend import cusum_changepoint
+
+    rows = [("c", i, i * 1e-7) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, "
+                                     "value double")
+    out = cusum_changepoint(df).collect()[0]
+    assert out["cusum_stat"] is None
+    assert out["changepoint_at"] is None
+    assert out["detected"] == 0
+
+
+def test_paa_sax_tiny_spread_no_ansi_divide_by_zero(spark):
+    """Same guard for paa_sax: 6-dp-rounded sd of exactly 0.0 while
+    var > 0 must yield NULL z/sym, not ANSI DIVIDE_BY_ZERO."""
+    from ts_pymfe_spark.operators.downsample import paa_sax
+
+    rows = [("c", i, i * 1e-7) for i in range(1, 17)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, "
+                                     "value double")
+    got = paa_sax(df, n_segments=4).collect()
+    assert len(got) == 4
+    assert all(r["z"] is None and r["sym"] is None for r in got)

@@ -35,7 +35,7 @@ for name, df in [
 # Round 6: ONE key at far beyond the probe above (100M rows on a single
 # user; 50x the 2M hot key) —
 # the honest limit named in BENCH/BASELINE.md.  The per-key window plan
-# funnels all 20M rows through one task; chunk_s splits the same key
+# funnels all 100M rows through one task; chunk_s splits the same key
 # across time-range tasks and merges boundary state from a per-chunk
 # table.  Both plans are value-equal (tests/test_round6_features.py);
 # this probe records the wall-clock and task-split evidence.

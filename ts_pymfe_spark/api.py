@@ -15,11 +15,13 @@ lists.
 (tsmfe.py:427-438), sorted lexicographically per series
 (tsmfe.py:941-947).  Scalar features keep their bare name.
 
-Execution: the whole extraction is two Arrow stages —
+Execution: the whole extraction is ONE Arrow stage —
 ``groupBy(conv).applyInPandas`` kernels (operators/arrow_kernels.py)
-then ``groupBy(conv, feature).applyInPandas`` summaries — so a
+with the per-feature summaries fused into the same kernel call (round
+7; the kernel holds each feature's full value array already) — so a
 1000-executor cluster extracts ~10^6 conversations concurrently with
-exactly two shuffles.
+exactly one shuffle.  The bootstrap-CI path keeps the separate
+``groupBy(conv, feature, resample).applyInPandas`` summary stage.
 """
 
 from __future__ import annotations
@@ -77,18 +79,17 @@ class TSMFESpark:
         (reference ``measure_time`` option, tsmfe.py:128-165 /
         _internal.timeit:1422-1442 — 'total' semantics: rows of one
         feature's summaries share the feature's kernel time)."""
-        feats = series_features(
+        # Fused summary stage (round 7): the kernel holds each
+        # feature's complete value array for its group, so it emits
+        # the summary rows directly — value-equal to the former
+        # separate summarize() stage (same summarize_array, same
+        # scalar pass-through) while deleting one exchange and one
+        # grouped-map Python pass of ~6x-group-count tiny groups.
+        # measure_time rides along as before: wall_ms is constant per
+        # (conv, series, feature) and stamps every summary row.
+        summ = series_features(
             series_df, features=self.features, max_points=self.max_points,
-            measure_time=measure_time,
-        )
-        # measure_time rides the summary stage as a carried column:
-        # wall_ms is constant per (conv, series, feature) group, so the
-        # single summarize pass serves both outputs — a separate timing
-        # aggregate + join would execute the expensive kernel stage
-        # twice (the uncached plan is shared by both consumers).
-        summ = summarize(
-            feats, self.summaries,
-            carry=("wall_ms",) if measure_time else (),
+            measure_time=measure_time, summaries=self.summaries,
         )
         name = F.when(F.col("summary") == "", F.col("feature")).otherwise(
             F.concat_ws(".", "feature", "summary")

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ts_pymfe_spark.functions import kernels as K
+from ts_pymfe_spark.functions.summaries import summarize_array
 
 FEATURE_SCHEMA = (
     "conv_id string, series string, feature string, idx int, value double"
@@ -460,8 +461,20 @@ def series_features(
     parallelism: int | None = None,
     min_points: int = 0,
     n_groups: int | None = None,
+    summaries: Iterable[str] | None = None,
 ) -> DataFrame:
     """Long feature table over per-series Arrow kernels.
+
+    ``summaries`` (round 7): when given, the kernel emits summary rows
+    (conv_id, series, feature, summary, value[, wall_ms]) DIRECTLY —
+    the kernel already holds each feature's complete value array for
+    its group, so running ``summarize_array`` in-kernel is value-equal
+    to the separate ``summarize()`` stage while deleting a whole
+    Arrow boundary: one exchange of long feature rows plus one
+    grouped-map Python call per (conv, series, feature) group (~6× the
+    group count) collapse into zero (guide §4: fewer JVM↔Python
+    crossings; §2.4: fewer exchanges).  Single-row features keep the
+    pass-through summary '' convention exactly as summarize() does.
 
     ``min_points``: skip series shorter than this INSIDE the kernel
     (empty output for the group) — one scan + one shuffle, instead of
@@ -504,7 +517,10 @@ def series_features(
             parallelism = max(1, min(parallelism, int(n_groups)))
     df = df.repartition(parallelism, *keys)
 
-    empty_cols = ["conv_id", "series", "feature", "idx", "value"] + (
+    summarized = summaries is not None
+    summ_names = tuple(summaries) if summarized else ()
+    mid_col = "summary" if summarized else "idx"
+    empty_cols = ["conv_id", "series", "feature", mid_col, "value"] + (
         ["wall_ms"] if measure_time else []
     )
 
@@ -518,7 +534,7 @@ def series_features(
         conv = pdf["conv_id"].iloc[0]
         ser = pdf["series"].iloc[0] if has_series else value_col
         out_feat: list[str] = []
-        out_idx: list[int] = []
+        out_mid: list = []
         out_val: list[float] = []
         out_ms: list[float] = []
         for name in names:
@@ -534,25 +550,43 @@ def series_features(
                 res = np.nan  # error containment: nan, never fail the job
                 # (reference behavior: _internal.py:594-614)
             arr = np.atleast_1d(np.asarray(res, dtype=float))
-            out_feat.extend([name] * arr.size)
-            out_idx.extend(range(arr.size))
-            out_val.extend(arr.tolist())
+            if summarized:
+                # exactly summarize()'s convention: single rows pass
+                # through with summary '', arrays reduce
+                if arr.size == 1:
+                    rows = [("", float(arr[0]))]
+                else:
+                    rows = summarize_array(arr, summ_names)
+                out_feat.extend([name] * len(rows))
+                out_mid.extend(r[0] for r in rows)
+                out_val.extend(r[1] for r in rows)
+                n_rows = len(rows)
+            else:
+                out_feat.extend([name] * arr.size)
+                out_mid.extend(range(arr.size))
+                out_val.extend(arr.tolist())
+                n_rows = arr.size
             if measure_time:
                 out_ms.extend(
-                    [(time.perf_counter() - t0) * 1000.0] * arr.size
+                    [(time.perf_counter() - t0) * 1000.0] * n_rows
                 )
         cols = {
             "conv_id": conv,
             "series": ser,
             "feature": out_feat,
-            "idx": out_idx,
+            mid_col: out_mid,
             "value": out_val,
         }
         if measure_time:
             cols["wall_ms"] = out_ms
         return pd.DataFrame(cols)
 
-    schema = FEATURE_SCHEMA + (", wall_ms double" if measure_time else "")
+    if summarized:
+        schema = ("conv_id string, series string, feature string, "
+                  "summary string, value double")
+    else:
+        schema = FEATURE_SCHEMA
+    schema += ", wall_ms double" if measure_time else ""
     return df.groupBy(*keys).applyInPandas(kernel, schema)
 
 

@@ -191,7 +191,12 @@ def paa_sax(df: DataFrame, n_segments: int = 8, alphabet: int = 4,
     var = F.when(F.col("_n") > 1,
                  (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n"))
                  / (F.col("_n") - 1))
-    sd = F.round(F.sqrt(F.when(var > 0, var)), 6)
+    # Null out a 6-dp-rounded sd of exactly 0.0 (possible while var >
+    # 0 for sd < ~5e-7): under ANSI the z division would otherwise
+    # raise DIVIDE_BY_ZERO (round-6 ADVICE, reproduced with values
+    # i*1e-7); NULL routes such series to the existing NULL z/sym path.
+    sd0 = F.round(F.sqrt(F.when(var > 0, var)), 6)
+    sd = F.when(sd0 > 0, sd0)
     mu = F.round(F.col("_s1") / F.col("_n"), 6)
     segs = staged.groupBy(key, "seg").agg(
         F.count("*").cast("long").alias("n_pts"),

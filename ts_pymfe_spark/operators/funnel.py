@@ -42,6 +42,7 @@ consecutive Window nodes over one sort.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -256,8 +257,14 @@ def event_paths_topk(df: DataFrame, n: int = 3, k: int = 20,
     w = Window.partitionBy(key).orderBy(*order)
     lags = [F.lag(state_col, n - 1 - i).over(w) for i in range(n - 1)]
     path = F.concat_ws(">", *lags, F.col(state_col))
+    # Require EVERY position non-null (round-6 ADVICE): concat_ws
+    # silently drops NULLs, so checking only the longest lag would
+    # collapse 'a>NULL>c' to 'a>c' and diverge from the oracle's
+    # NULL-propagating || concatenation when state_col has NULLs.
+    full = reduce(lambda a, b: a & b,
+                  [c.isNotNull() for c in lags + [F.col(state_col)]])
     rows = (df.select(F.col(key), path.alias("path"),
-                      lags[0].isNotNull().alias("_full"))
+                      full.alias("_full"))
             .where(F.col("_full")))
     per_key = rows.groupBy("path", key).agg(F.count("*").alias("_c"))
     return (per_key.groupBy("path")

@@ -65,23 +65,39 @@ def ami_histogram(df: DataFrame, lag: int = 1, num_bins: int = 64,
     n = Window.partitionBy("conv_id")
     p = (F.col("_c") / F.sum("_c").over(n)).alias("_p")
     joint = joint.select("conv_id", "_bx", "_by", p)
-    hx = (
-        joint.groupBy("conv_id", "_bx").agg(F.sum("_p").alias("_px"))
-        .groupBy("conv_id").agg((-F.sum(F.col("_px") * F.log("_px"))).alias("_hx"))
+    # Single-pass marginalization (round 7): the old hx/hy/hxy subtrees
+    # were three independent DataFrame branches joined on conv_id —
+    # Catalyst does not share common lineage across branches, so the
+    # scan + lag window + joint histogram all ran THREE times (plan
+    # audit: 3 scans, 10 exchanges).  Instead explode each joint cell
+    # into its three marginal keys (x margin, y margin, joint), sum p
+    # per (axis, key), take each axis's entropy, and combine — one
+    # scan, one exchange, no joins.  The xy axis key is unique per
+    # cell, so its sum(p) is p exactly and H(x,y) is unchanged.
+    axes = F.array(
+        F.struct(F.lit(0).alias("_ax"), F.col("_bx").alias("_k")),
+        F.struct(F.lit(1).alias("_ax"), F.col("_by").alias("_k")),
+        F.struct(
+            F.lit(2).alias("_ax"),
+            (F.col("_bx") * num_bins + F.col("_by")).alias("_k"),
+        ),
     )
-    hy = (
-        joint.groupBy("conv_id", "_by").agg(F.sum("_p").alias("_py"))
-        .groupBy("conv_id").agg((-F.sum(F.col("_py") * F.log("_py"))).alias("_hy"))
+    cells = joint.select(
+        "conv_id", "_p", F.explode(axes).alias("_a")
+    ).select("conv_id", F.col("_a._ax").alias("_ax"),
+             F.col("_a._k").alias("_k"), "_p")
+    marg = cells.groupBy("conv_id", "_ax", "_k").agg(
+        F.sum("_p").alias("_pm")
     )
-    hxy = joint.groupBy("conv_id").agg(
-        (-F.sum(F.col("_p") * F.log("_p"))).alias("_hxy")
+    ent = marg.groupBy("conv_id", "_ax").agg(
+        (-F.sum(F.col("_pm") * F.log("_pm"))).alias("_h")
     )
-    return (
-        hx.join(hy, "conv_id").join(hxy, "conv_id")
-        .select(
-            "conv_id",
-            (F.col("_hx") + F.col("_hy") - F.col("_hxy")).alias("ami"),
-        )
+    return ent.groupBy("conv_id").agg(
+        (
+            F.sum(F.when(F.col("_ax") == 0, F.col("_h")))
+            + F.sum(F.when(F.col("_ax") == 1, F.col("_h")))
+            - F.sum(F.when(F.col("_ax") == 2, F.col("_h")))
+        ).alias("ami")
     )
 
 

@@ -30,6 +30,32 @@ def tokens_col(text: str = "text") -> F.Column:
     return F.filter(F.split(F.col(text), r"\s+"), lambda t: t != "")
 
 
+def spread(df: DataFrame, *key: str) -> DataFrame:
+    """Repartition to the session parallelism when the input arrives
+    in fewer splits (guide §2.5 input skew).
+
+    The heavy per-char operators (CDC's md5-per-position, shingle
+    explodes) do their work in the stage that READS the input, at the
+    input's file-split granularity: a corpus that packs into one
+    parquet split runs the whole O(chars) pass in ONE task while the
+    other cores idle.  A repartition of the slim (id, text) rows costs
+    one small exchange and parallelizes the compute.  Prefer a ``key``
+    (usually the doc id): hash partitioning by it satisfies every
+    downstream doc-clustered groupBy/window (subset rule, guide §2.4)
+    and skips round-robin's sort-before-repartition.  The guard keeps
+    it scale-safe: inputs that already scan wide (the 100 TB case) are
+    left alone rather than collapsed."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur >= n:
+        return df
+    return df.repartition(n, *key) if key else df.repartition(n)
+
+
 def with_tokens(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("tokens", tokens_col(text))
 
@@ -216,7 +242,7 @@ def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
     TakeOrdered: each partition keeps k rows, the driver merges k·p.
     Ties break deterministically (count desc, ngram asc).
     """
-    t = with_tokens(df, text).filter(F.size("tokens") >= n)
+    t = with_tokens(spread(df, id_col), text).filter(F.size("tokens") >= n)
     grams = t.select(
         id_col,
         F.explode(
@@ -241,7 +267,7 @@ def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
              text: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    t = with_tokens(df, text)
+    t = with_tokens(spread(df, id_col), text)
     sh = F.transform(
         F.sequence(F.lit(0), F.size("tokens") - n),
         lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, n)),
@@ -385,11 +411,18 @@ def cdc_chunks(df: DataFrame, window: int = CDC_WINDOW,
     (boundaries still content-derived and deterministic), different
     boundary positions, no cross-engine oracle.
     """
-    d = df.select(id_col, text).where(F.length(text) >= 1)
+    d = spread(df.select(id_col, text).where(F.length(text) >= 1), id_col)
     win = F.col(text).substr(F.col("p"), F.lit(window))
     if hash_fn == "md5":
+        # When modulus divides 256, conv(substring(md5,1,10),16,10) %
+        # modulus depends only on the 40-bit prefix's low byte (16² =
+        # 256 ≡ 0 mod m), i.e. hex chars 9-10 — parsing 2 chars
+        # instead of 10 trims the per-position cost of the O(chars)
+        # boundary scan (guide §1.2 step 2: per-task work) with
+        # provably identical boundaries.
+        digits = (9, 2) if 256 % modulus == 0 else (1, 10)
         boundary = (
-            F.conv(F.substring(F.md5(win), 1, 10), 16, 10)
+            F.conv(F.substring(F.md5(win), *digits), 16, 10)
             .cast("long") % modulus == 0
         )
     elif hash_fn == "xxhash64":
@@ -1543,7 +1576,11 @@ def tfidf_topk(df: DataFrame, k: int = 10, strata_col: str = "source",
     reproducible as pure SQL), score(stratum, t) = sum over the
     stratum's docs of tf(d, t) * idf(t).
 
-    -> (strata_col, term, n_docs_stratum, score, rank), k rows per
+    -> (strata_col, term, n_docs_stratum, score, rank) — NOTE
+    ``n_docs_stratum`` is the number of docs IN the stratum CONTAINING
+    the term (the per-(stratum, term) doc count), not the stratum's
+    total document count; the name is frozen by the registered oracle
+    schema (round-6 ADVICE).  K rows per
     stratum, ties deterministic (score 6-dp-rounded desc, term asc —
     the rank is computed ON the rounded score so the oracle's window
     ordering is identical).
@@ -1557,6 +1594,9 @@ def tfidf_topk(df: DataFrame, k: int = 10, strata_col: str = "source",
     corpus size N arrives as a broadcast scalar (one count on a
     doc-id-only scan), never a window over an unpartitioned frame.
     """
+    # no spread() here (round 7): the token stream repartitions by
+    # term immediately, so the exploded agg is already parallel; a
+    # doc-keyed pre-exchange added a 4th shuffle for no measured gain.
     t = with_tokens(df, text)
     toks = t.select(
         F.col(strata_col).alias("_st"), F.col(id_col).alias("_doc"),
@@ -1640,7 +1680,7 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
     per task, and the per-doc reduction reuses the (doc) clustering
     the same way benford's digit cells do.
     """
-    chars = df.select(
+    chars = spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.filter(F.split(F.col(text), ""),
                            lambda c: c != "")).alias("_ch"))

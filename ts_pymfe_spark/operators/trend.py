@@ -57,7 +57,13 @@ def cusum_changepoint(df: DataFrame, key: str = "conv_id",
     s2 = F.sum(v * v).over(wk)
     var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1))
     mu = F.round(s1 / n, 6)
-    sd = F.round(F.sqrt(F.when(var > 0, var)), 6)
+    # The 6-dp round can flatten a tiny-but-positive sd (0 < sd <
+    # ~5e-7) to exactly 0.0, and under ANSI (Spark 4 default) the c_t
+    # division then kills the whole job with DIVIDE_BY_ZERO (round-6
+    # ADVICE, reproduced with values i*1e-7).  Null it out instead so
+    # degenerate-spread series take the documented NULL-stat path.
+    sd0 = F.round(F.sqrt(F.when(var > 0, var)), 6)
+    sd = F.when(sd0 > 0, sd0)
 
     staged = df.select(
         F.col(key), F.col(order_col).alias("_ord"),
