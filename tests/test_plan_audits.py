@@ -496,3 +496,26 @@ def test_daily_dist_drift_cells_only(spark):
     p = plan(daily_dist_drift(_events(spark)))
     assert "partial_count" in p, p
     assert "ReadSchema: struct<ts:timestamp_ntz,value:double>" in p, p
+
+
+def test_rate_1m_projection_equals_identity_rollup(spark, turns):
+    """Round-7: the turn-rate 1m branch as a closed-form projection
+    must be value-equal (schema, types, every moment field) to the
+    rollup_raw(turn_rate_series(t1m), '1m') it replaces."""
+    from ts_pymfe_spark.operators.rollup import (
+        rate_1m_projection,
+        turn_rate_series,
+    )
+
+    t1m = rollup_raw(derive_series(turns), "1m", salted=False)
+    old = rollup_raw(turn_rate_series(t1m), "1m", salted=False)
+    new = rate_1m_projection(t1m)
+    # names and types identical; nullability is intentionally STRICTER
+    # in the projection (non-null by construction, where aggregates
+    # must declare nullable) — consumers all widen, see docstring
+    assert [(f.name, f.dataType) for f in old.schema] == \
+        [(f.name, f.dataType) for f in new.schema]
+    a = sorted(map(repr, old.collect()))
+    b = sorted(map(repr, new.collect()))
+    assert len(a) > 100
+    assert a == b

@@ -109,6 +109,53 @@ def turn_rate_series(tier_df: DataFrame, base_series: str = "text_len") -> DataF
     )
 
 
+def rate_1m_projection(t1m: DataFrame,
+                       base_series: str = "text_len") -> DataFrame:
+    """Identity-bucket turn-rate rollup (round 7).
+
+    Feeding ``turn_rate_series(t1m)`` back through ``rollup_raw`` at
+    the SAME 1m tier groups by ``date_trunc('minute', bucket_start)``
+    — which IS ``bucket_start`` (already minute-truncated), so every
+    group holds exactly one row and the whole two-phase hash
+    aggregation is an identity: the moment vector is a closed-form
+    projection of the single row (n=1, s_k = v^k, min = max = first =
+    last = v).  Value-equal to
+    ``rollup_raw(turn_rate_series(t1m), "1m", salted=False)``
+    (tests/test_plan_audits.py), with zero aggregation passes —
+    measured 2.3-3.5 s -> 0.5 s on the 12.3M-row branch at SF=2
+    local[8] (guide §1.2 step 1: don't compute what a projection
+    already knows)."""
+    v = F.col("n").cast("double")
+    out = (
+        t1m.filter(F.col("series") == base_series)
+        .select(
+            "conv_id",
+            F.lit("turn_rate").alias("series"),
+            "bucket_start",
+            F.lit(1).cast("long").alias("n"),
+            v.alias("s1"),
+            (v * v).alias("s2"),
+            (v * v * v).alias("s3"),
+            (v * v * v * v).alias("s4"),
+            v.alias("mn"),
+            v.alias("mx"),
+            F.col("bucket_start").alias("first_ts"),
+            v.alias("first_v"),
+            F.col("bucket_start").alias("last_ts"),
+            v.alias("last_v"),
+            F.when(v > 0, F.log(v)).alias("slog"),
+            F.when(v <= 0, F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("n_nonpos"),
+        )
+    )
+    # Same column names/types/values as the aggregate form; the
+    # moment fields come out NON-nullable here (a projection of a
+    # non-null count proves more than SUM/MIN/MAX aggregates can) —
+    # every consumer (unionByName, moment_merge_aggs, parquet stores)
+    # widens nullability, so the stricter schema is safe and honest.
+    return out
+
+
 class TierMap(dict):
     """{tier: moments DataFrame} plus ``aux``: inner persisted
     DataFrames that back the tiers but are not tiers themselves.
@@ -176,9 +223,12 @@ def build_all_tiers(series_df: DataFrame, salted: bool = True,
         t1m = _persist(t1m, tiers)
     branches = [t1m]
     if include_turn_rate:
-        rate = rollup_raw(turn_rate_series(t1m), "1m", salted=False)
-        if persist:
-            rate = _persist(rate, tiers)
+        # rate_1m_projection == rollup_raw(turn_rate_series(t1m), "1m")
+        # — identity buckets, see its docstring.  NOT persisted even
+        # under persist=True (round 7): the projection re-derives from
+        # the cached t1m in ~0.5 s per consumer, far cheaper than
+        # building a second 12M-row columnar cache.
+        rate = rate_1m_projection(t1m)
         branches.append(rate)
     tiers["1m"] = _union(branches)
     branches_1h = [cascade(b, "1h") for b in branches]

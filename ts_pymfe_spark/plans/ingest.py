@@ -32,8 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ts_pymfe_spark.operators.rollup import (
     cascade,
+    rate_1m_projection,
     rollup_raw,
-    turn_rate_series,
 )
 from ts_pymfe_spark.plans.manifest import CheckpointedWriter
 
@@ -62,12 +62,12 @@ def ingest_tiers(spark: SparkSession, series: DataFrame, output: str,
         metrics["1d"] = []
         return metrics
     if include_turn_rate:
-        # derived from the committed store, not a cache; the read
-        # filters series == base, so already-committed ~rate rows from
-        # a crashed previous attempt cannot feed back into the input
-        rate_1m = rollup_raw(
-            turn_rate_series(committed_1m), "1m", salted=False
-        )
+        # derived from the committed store, not a cache; the
+        # projection filters series == base, so already-committed
+        # ~rate rows from a crashed previous attempt cannot feed back
+        # into the input.  rate_1m_projection: identity-bucket rollup
+        # as a closed-form projection (round 7, rollup.py docstring).
+        rate_1m = rate_1m_projection(committed_1m)
         metrics["1m"] += w1m.run(
             rate_1m, "bucket_start", "day", partition_suffix=RATE_SUFFIX
         )

@@ -364,8 +364,7 @@ def read_all_tiers(spark: SparkSession, store_dir: str,
 
     from ts_pymfe_spark.operators.rollup import (
         cascade,
-        rollup_raw,
-        turn_rate_series,
+        rate_1m_projection,
     )
 
     def _union(dfs):
@@ -374,7 +373,8 @@ def read_all_tiers(spark: SparkSession, store_dir: str,
     t1m = read_tier(spark, store_dir, "1m")
     branches = [t1m]
     if include_turn_rate:
-        branches.append(rollup_raw(turn_rate_series(t1m), "1m", salted=False))
+        # identity-bucket rollup as a projection (round 7, rollup.py)
+        branches.append(rate_1m_projection(t1m))
     tiers = {"1m": _union(branches)}
     branches_1h = [cascade(b, "1h") for b in branches]
     tiers["1h"] = _union(branches_1h)
