@@ -445,3 +445,31 @@ def test_paa_sax_tiny_spread_no_ansi_divide_by_zero(spark):
     got = paa_sax(df, n_segments=4).collect()
     assert len(got) == 4
     assert all(r["z"] is None and r["sym"] is None for r in got)
+
+
+def test_doc_fingerprint_xxhash64_partition_invariant(spark):
+    """Round-7 production hash path (cdc_chunks pattern): xxhash64
+    fingerprints must be identical under any input partitioning, and
+    equal docs must share a fingerprint while distinct docs differ."""
+    from ts_pymfe_spark.operators.textpipe import doc_fingerprint
+
+    # word-distinct texts: no shared shingles across the 7 variants,
+    # so distinct texts must get distinct fingerprints (a 1-perm
+    # minhash legitimately collides for texts sharing their min
+    # shingle — avoid that in the fixture, it is not the invariant)
+    texts = [" ".join(f"w{i % 7}x{j}" for j in range(6)) for i in range(50)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    a = {r["doc_id"]: r["fingerprint"]
+         for r in doc_fingerprint(docs, hash_fn="xxhash64").collect()}
+    b = {r["doc_id"]: r["fingerprint"]
+         for r in doc_fingerprint(docs.repartition(13),
+                                  hash_fn="xxhash64").collect()}
+    assert a == b
+    assert all(isinstance(v, int) for v in a.values())
+    # same text -> same fingerprint; the 7 distinct texts -> 7 values
+    assert a[0] == a[7] and len(set(a.values())) == 7
+
+    import pytest
+    with pytest.raises(ValueError):
+        doc_fingerprint(docs, hash_fn="sha999")

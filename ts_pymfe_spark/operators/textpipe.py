@@ -366,12 +366,26 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.3,
     )
 
 
-def doc_fingerprint(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic 1-perm minhash-style fingerprint: min(md5(shingle))
+def doc_fingerprint(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                    hash_fn: str = "md5") -> DataFrame:
+    """Deterministic 1-perm minhash-style fingerprint: min(hash(shingle))
     per doc — a content fingerprint stable under token reordering noise
-    at the shingle level."""
+    at the shingle level.
+
+    ``hash_fn`` (round 7, VERDICT r6 #4 — the cdc_chunks pattern):
+    ``"md5"`` (default; hex-string fingerprint, reproducible in ANSI
+    SQL so the oracle checks it) or ``"xxhash64"`` — Spark's
+    codegen-intrinsic 64-bit hash, ~an order of magnitude cheaper per
+    shingle and the production path at 100 TB; bigint fingerprint,
+    same stability semantics, no cross-engine oracle."""
+    if hash_fn == "md5":
+        h = F.md5("shingle")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64("shingle")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return shingles(df, n, id_col).groupBy(id_col).agg(
-        F.min(F.md5("shingle")).alias("fingerprint")
+        F.min(h).alias("fingerprint")
     )
 
 
