@@ -118,6 +118,10 @@ def gapfill_agg(buckets: DataFrame, step_seconds: int,
     ``sum_{k=1..m} v0 + (v1-v0)*k/(m+1) = m*(v0+v1)/2`` (trapezoid).
     The grid spans [min_bucket, max_bucket] of the *observed* rows, so
     every gap is interior (bracketed) and the LOCF tail never fires.
+    Assumes grid-aligned buckets (every bucket_start a whole multiple
+    of ``step_seconds`` apart — true for any tier table, whose buckets
+    are date_trunc'd), same as gapfill()'s LEFT JOIN, which silently
+    drops off-grid observations.
 
     Returns (conv_id, series, n_buckets, n_gaps, total) with ``total``
     the un-rounded double sum of filled values.
