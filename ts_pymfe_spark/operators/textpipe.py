@@ -543,24 +543,33 @@ def filter_corpus(df: DataFrame, min_tokens: int = 5,
     Deterministic: the duplicate survivor is the min-id doc, matching
     ``exact_dedup``.
 
-    Scale shape (100 TB): rules 1-3 are narrow per-row expressions;
+    Scale shape (100 TB): rules 1-3 are narrow per-row expressions,
+    computed in ONE projection (round 7: they were previously three
+    separate quality/pii/hash branches re-scanning the corpus and
+    joined back on doc_id — 4 scans and 3 joins for per-row facts);
     rule 4 reuses the exact-dedup aggregate (shuffle O(distinct
-    hashes)) joined back on the content hash — the only exchange in
-    the plan, and the join key is the md5 so it is uniform by
-    construction (no skew).
+    hashes)) joined back on the content hash — the only join left,
+    and the join key is the md5 so it is uniform by construction (no
+    skew).
     """
-    q = quality_score(df, id_col)
-    p = pii_scrub(df, id_col, text)
-    keepers = (
-        df.select(id_col, F.md5(text).alias("_h"))
-        .groupBy("_h").agg(F.min(id_col).alias("_keep_id"))
+    c = F.col(text)
+    n_tok = F.size(tokens_col(text))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_pii = (
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0)))
     )
-    flags = (
-        df.select(id_col, F.md5(text).alias("_h"))
-        .join(keepers, "_h")
-        .select(id_col, (F.col(id_col) != F.col("_keep_id")).alias("_dup"))
-        .join(q.select(id_col, "n_tokens", "alpha_ratio"), id_col)
-        .join(p.select(id_col, "has_pii"), id_col)
+    base = df.select(
+        id_col,
+        F.md5(c).alias("_h"),
+        n_tok.alias("n_tokens"),
+        (alpha / F.length(text)).cast("double").alias("alpha_ratio"),
+        (n_pii > 0).alias("has_pii"),
+    )
+    keepers = base.groupBy("_h").agg(F.min(id_col).alias("_keep_id"))
+    flags = base.join(keepers, "_h").withColumn(
+        "_dup", F.col(id_col) != F.col("_keep_id")
     )
     reason = (
         F.when(F.col("n_tokens") < min_tokens, "short")
